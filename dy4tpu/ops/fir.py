@@ -1,0 +1,173 @@
+"""Stateful block FIR filtering, decimation and rational resampling.
+
+These are the TPU-native equivalents of the reference's hand-written MAC
+loops (``blockConvolveFIR`` src/filter.cpp:66-83, ``downsampleBlockConvolveFIR``
+src/filter.cpp:123-140, ``resampleBlockConvolveFIR`` src/filter.cpp:142-173,
+``convolveFIR`` src/filter.cpp:53-64).  Instead of translating the loops, the
+overlap-save recurrence is expressed as a single ``lax.conv_general_dilated``:
+
+    y = conv(concat(state, x) dilated by U, flip(h), stride=D)
+
+which XLA tiles onto the MXU/VPU and fuses with neighbouring elementwise
+work.  The carried ``state`` is the last ``S`` *input* samples, exactly the
+reference's overlap-save tail:
+
+  * plain / decimating FIR: ``S = num_taps - 1`` (project.cpp:242-250)
+  * polyphase resampler:   ``S = (num_taps - 1) // U`` — the polyphase access
+    pattern only ever reaches ``floor((K-1)/U)`` input samples into the past
+    (filter.cpp:158-166; matches the Python model's ``len(h)/U - 1``,
+    fmMonoBlock.py:338)
+
+All ops accept arbitrary leading batch dimensions on ``x``/``state`` and are
+jit/vmap/shard_map friendly (static shapes, no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+def state_len(num_taps: int, up: int = 1) -> int:
+    """Carried-state length for a (resampling) block FIR."""
+    return (num_taps - 1) // up
+
+
+def init_state(num_taps: int, up: int = 1, batch: tuple[int, ...] = (),
+               dtype=jnp.float32) -> Array:
+    return jnp.zeros((*batch, state_len(num_taps, up)), dtype)
+
+
+def _conv1d(x: Array, h: Array, *, up: int, down: int,
+            pad_lo: int, pad_hi: int, precision) -> Array:
+    """Batched 1-D convolution core. x: [..., N], h: [K] -> [..., M]."""
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    lhs = x.reshape((-1, 1, n))                      # [B, C=1, N]
+    rhs = jnp.flip(h, -1).reshape((1, 1, h.shape[0]))  # [O=1, I=1, K]
+    out = lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(down,),
+        padding=[(pad_lo, pad_hi)],
+        lhs_dilation=(up,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=precision,
+    )
+    return out.reshape((*batch_shape, out.shape[-1]))
+
+
+def convolve_full(x: Array, h: Array,
+                  precision=lax.Precision.HIGHEST) -> Array:
+    """Single-pass linear convolution, output length N+K-1.
+
+    Equivalent of the reference validation path ``convolveFIR``
+    (src/filter.cpp:53-64).
+    """
+    k = h.shape[0]
+    return _conv1d(x, h, up=1, down=1, pad_lo=k - 1, pad_hi=k - 1,
+                   precision=precision)
+
+
+def block_fir_resample(x: Array, h: Array, state: Array, *,
+                       up: int = 1, down: int = 1,
+                       precision=lax.Precision.HIGHEST
+                       ) -> tuple[Array, Array]:
+    """Stateful polyphase FIR: upsample by ``up``, filter, keep every
+    ``down``-th output.  Returns ``(y, new_state)``.
+
+    ``x``: [..., N] with N*up divisible by down; ``state``: [..., S] where
+    ``S = (len(h)-1)//up``.  Semantics match src/filter.cpp:142-173 with the
+    state tail indexed in input-sample units.
+    """
+    k = h.shape[0]
+    n = x.shape[-1]
+    s = state.shape[-1]
+    expected_s = state_len(k, up)
+    if s != expected_s:
+        raise ValueError(f"state length {s} != {expected_s} for K={k}, U={up}")
+    if (n * up) % down != 0:
+        raise ValueError(f"block length {n}*{up} not divisible by {down}")
+    if n < expected_s:
+        raise ValueError(f"block length {n} shorter than carried state "
+                         f"{expected_s}; use a larger block")
+    m = n * up // down
+
+    x_ext = jnp.concatenate([state, x], axis=-1)     # [..., S+N]
+    # Output m reads dilated window [S*up + m*down - (K-1), S*up + m*down].
+    pad_lo = (k - 1) - s * up                        # in [0, up-1]
+    dilated_len = (s + n - 1) * up + 1
+    pad_hi = max(0, (m - 1) * down + k - pad_lo - dilated_len)
+    y = _conv1d(x_ext, h, up=up, down=down, pad_lo=pad_lo, pad_hi=pad_hi,
+                precision=precision)
+    y = y[..., :m]
+    new_state = x[..., n - expected_s:] if expected_s else state
+    return y, new_state
+
+
+def block_fir(x: Array, h: Array, state: Array, *,
+              precision=lax.Precision.HIGHEST) -> tuple[Array, Array]:
+    """Same-length stateful FIR (overlap-save), src/filter.cpp:66-83."""
+    return block_fir_resample(x, h, state, up=1, down=1, precision=precision)
+
+
+def block_fir_decim(x: Array, h: Array, state: Array, decim: int, *,
+                    precision=lax.Precision.HIGHEST) -> tuple[Array, Array]:
+    """Decimating stateful FIR computing only kept outputs,
+    src/filter.cpp:123-140."""
+    return block_fir_resample(x, h, state, up=1, down=decim,
+                              precision=precision)
+
+
+def block_fir_bank(x: Array, hs: Array, states: Array, *,
+                   precision=lax.Precision.HIGHEST) -> tuple[Array, Array]:
+    """Apply a bank of F same-length FIR filters to one input in a single
+    fused convolution (one HBM read of ``x`` for all filters).
+
+    Used to fuse the pilot/stereo/RDS-band/RDS-carrier band-pass filters
+    that all read ``fm_demod`` (project.cpp:120-121, fmMonoBlock.py:652-653,
+    673).  ``hs``: [F, K]; ``states``: [..., F, K-1]; returns
+    ``y: [..., F, N]`` and new states.
+    """
+    f, k = hs.shape
+    n = x.shape[-1]
+    batch_shape = x.shape[:-1]
+    s = k - 1
+    # Each filter has its own carried tail, but the tails are all just the
+    # last K-1 samples of the *same* input stream, so they stay per-filter
+    # only for generality (callers may seed them differently).
+    x_b = jnp.broadcast_to(x[..., None, :], (*batch_shape, f, n))
+    x_ext = jnp.concatenate([states, x_b], axis=-1)    # [..., F, S+N]
+    rhs = jnp.flip(hs, -1).reshape((f, 1, k))          # [F, 1, K]
+    # Group the F filters as feature groups: batch stays B, features F.
+    lhs = x_ext.reshape((-1, f, s + n))                # [B, F, S+N]
+    out = lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=f,
+        precision=precision,
+    )                                                   # [B, F, N]
+    y = out.reshape((*batch_shape, f, n))
+    new_states = x_b[..., n - s:]
+    return y, new_states
+
+
+@functools.partial(jax.jit, static_argnames=("factor",))
+def downsample(x: Array, factor: int) -> Array:
+    """Take every ``factor``-th sample (src/filter.cpp:104-110)."""
+    return x[..., ::factor]
+
+
+@functools.partial(jax.jit, static_argnames=("factor",))
+def upsample(x: Array, factor: int) -> Array:
+    """Zero-stuff: each sample followed by ``factor-1`` zeros
+    (src/filter.cpp:112-121)."""
+    shape = (*x.shape[:-1], x.shape[-1], factor)
+    out = jnp.zeros(shape, x.dtype).at[..., 0].set(x)
+    return out.reshape((*x.shape[:-1], x.shape[-1] * factor))

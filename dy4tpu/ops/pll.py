@@ -1,0 +1,107 @@
+"""Type-II software PLL + NCO as a batched ``lax.scan``.
+
+Reference: ``fmPLL`` (src/filter.cpp:174-228) and the Python-model twin with
+quadrature output (``fmPll`` model/fmMonoBlock.py:344-379).  Loop constants
+Cp=2.666, Ci=3.555, Kp=bw*Cp, Ki=bw^2*Ci.
+
+Per input sample k:
+    errorI = in[k] *  feedbackI
+    errorQ = in[k] * -feedbackQ
+    errorD = atan2(errorQ, errorI)        (0 when errorI == 0, the model's
+                                           zero-input guard, fmMonoBlock.py:359)
+    integrator += Ki * errorD
+    phaseEst   += Kp * errorD + integrator
+    angle      += 2*pi*freq/Fs            (reference: trigOffset++, then
+                                           trigArg = 2*pi*(f/Fs)*trigOffset)
+    feedback   = exp(j*(angle + phaseEst))
+    nco[k+1]   = cos/sin((angle + phaseEst)*ncoScale + phaseAdjust)
+
+and the emitted block is nco[0..N-1] with nco[0] carried from the previous
+block — i.e. the NCO lags the input by one sample, exactly the reference's
+block semantics.
+
+TPU design notes
+----------------
+* The recurrence is inherently sequential, but it runs at the IF rate and is
+  *batched over channels*: each scan step does a handful of VPU ops on a
+  [channels] vector, so per-step cost amortises across the fleet of streams.
+* The reference lets ``trigOffset`` and ``phaseEst`` grow without bound,
+  which destroys float32 precision on long streams (filter.cpp:213-214).
+  Here both are wrapped modulo 4*pi, which is exact for the nco scales the
+  receiver uses (2.0 stereo, 0.5 RDS, 1.0) since scale*4*pi = 0 mod 2*pi.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+_CP = 2.666
+_CI = 3.555
+_WRAP = 4.0 * jnp.pi  # exact modulus for ncoScale in {0.5, 1, 2}
+
+
+class PLLState(NamedTuple):
+    """Carried PLL state (project.cpp:46-53 + q_ncoState fmMonoBlock.py:441)."""
+    feedback_i: Array    # [...], init 1.0
+    feedback_q: Array    # [...], init 0.0
+    integrator: Array    # [...], init 0.0
+    phase_est: Array     # [...], init 0.0
+    angle: Array         # [...], init 0.0 (2*pi*f/Fs*trigOffset, wrapped)
+    nco: Array           # [...], init 1.0
+    nco_q: Array         # [...], init 1.0 (quadrature, used by RDS)
+
+
+def init_state(batch: tuple[int, ...] = (), dtype=jnp.float32) -> PLLState:
+    z = jnp.zeros(batch, dtype)
+    o = jnp.ones(batch, dtype)
+    return PLLState(feedback_i=o, feedback_q=z, integrator=z, phase_est=z,
+                    angle=z, nco=o, nco_q=o)
+
+
+def pll(pll_in: Array, state: PLLState, *, freq: float, fs: float,
+        nco_scale: float = 1.0, phase_adjust: float = 0.0,
+        norm_bandwidth: float = 0.01,
+        unroll: int = 8) -> tuple[Array, Array, PLLState]:
+    """Run the PLL over a block.
+
+    ``pll_in``: [..., N]; state fields: [...].  Returns
+    ``(nco_i, nco_q, new_state)`` with outputs shaped like the input.
+    """
+    kp = norm_bandwidth * _CP
+    ki = norm_bandwidth * norm_bandwidth * _CI
+    dtheta = 2.0 * jnp.pi * (freq / fs)
+
+    x = jnp.moveaxis(pll_in, -1, 0)  # [N, ...] scan over time
+
+    def step(carry: PLLState, xk: Array):
+        error_i = xk * carry.feedback_i
+        error_q = xk * -carry.feedback_q
+        error_d = jnp.where(error_i == 0.0, 0.0,
+                            jnp.arctan2(error_q, error_i))
+        integrator = carry.integrator + ki * error_d
+        phase_est = jnp.mod(carry.phase_est + kp * error_d + integrator,
+                            _WRAP)
+        angle = jnp.mod(carry.angle + dtheta, _WRAP)
+        trig_arg = angle + phase_est
+        out_arg = trig_arg * nco_scale + phase_adjust
+        new = PLLState(
+            feedback_i=jnp.cos(trig_arg),
+            feedback_q=jnp.sin(trig_arg),
+            integrator=integrator,
+            phase_est=phase_est,
+            angle=angle,
+            nco=jnp.cos(out_arg),
+            nco_q=jnp.sin(out_arg),
+        )
+        # Emit the *previous* NCO sample: output k is nco computed at k-1.
+        return new, (carry.nco, carry.nco_q)
+
+    new_state, (nco_i, nco_q) = lax.scan(step, state, x, unroll=unroll)
+    return (jnp.moveaxis(nco_i, 0, -1), jnp.moveaxis(nco_q, 0, -1),
+            new_state)
