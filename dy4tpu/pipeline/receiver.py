@@ -1,0 +1,299 @@
+"""The full per-block FM receiver as one pure jitted function.
+
+Architecture (TPU-first, not a port): where the reference runs a
+frontend/backend thread pair joined by a mutex queue per block
+(``src/project.cpp:289-305``), here the *entire* receiver —
+RF front end, mono path, stereo path, RDS DSP chain and clock/data
+recovery — is a single pure function
+
+    receiver_step(params, state, iq_u8) -> (state', outputs)
+
+over a ``[channels, block]`` batch, with every piece of carried state
+(SURVEY §2.4) reified in the ``ReceiverState`` pytree.  XLA fuses and
+overlaps the former "threads"; scaling comes from batching channels and
+sharding (see ``dy4tpu.parallel``), not from host threads.
+
+Signal flow equals the reference dataflow (spec Fig.2/Fig.22; C++
+``frontend``/``backend`` project.cpp:72-134; Python RDS chain
+fmMonoBlock.py:611-730).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dy4tpu.config import ModeConfig
+from dy4tpu.ops import demod, fir, firdes, mix, pll
+
+Array = jax.Array
+
+
+class ReceiverParams(NamedTuple):
+    """Filter coefficient tables (computed once per mode)."""
+    rf_coeff: Array        # [taps] RF LPF 100 kHz (project.cpp:262)
+    audio_coeff: Array     # [taps*U] audio LPF 16 kHz, gain*U (project.cpp:265)
+    bank_coeff: Array      # [F, taps] band filters over fm_demod:
+    #                        row 0 pilot 18.5-19.5k, row 1 stereo 22-54k,
+    #                        row 2 RDS band 54-60k (when enabled)
+    rds_carrier_coeff: Optional[Array]  # [taps] 113.5-114.5 kHz
+    rds_lpf_coeff: Optional[Array]      # [taps*U_rds] 3 kHz, gain*U_rds
+    rds_rrc_coeff: Optional[Array]      # [taps] RRC at rds_fs
+
+
+class RFState(NamedTuple):
+    iq_tail: Array         # [..., 2, taps-1] I/Q LPF overlap-save tails
+    prev_i: Array          # [...]
+    prev_q: Array          # [...]
+
+
+class AudioState(NamedTuple):
+    mono_delay: Array      # [..., taps//2] all-pass delay line
+    mono_tail: Array       # [..., (taps*U-1)//U] mono resampler tail
+    bank_tail: Array       # [..., F, taps-1] pilot/stereo/RDS-band tails
+    stereo_tail: Array     # [..., (taps*U-1)//U] post-mix resampler tail
+    pll: pll.PLLState      # stereo pilot PLL
+
+
+class CDRState(NamedTuple):
+    """Clock/data recovery carry (fmSupportLib.py:209-247)."""
+    offset: Array          # [...] int32, sampling phase in [0, sps)
+    found: Array           # [...] bool, timing lock flag
+
+
+class RDSState(NamedTuple):
+    carrier_tail: Array    # [..., taps-1]
+    delay: Array           # [..., taps//2]
+    lpf_tail_i: Array      # [..., (taps*U_rds-1)//U_rds]
+    lpf_tail_q: Array
+    rrc_tail_i: Array      # [..., taps-1]
+    rrc_tail_q: Array
+    pll: pll.PLLState
+    cdr: CDRState
+
+
+class ReceiverState(NamedTuple):
+    rf: RFState
+    audio: AudioState
+    rds: Optional[RDSState]
+
+
+class StepOutputs(NamedTuple):
+    mono: Array            # [..., audio_per_block] float32
+    left: Array            # [..., audio_per_block]
+    right: Array           # [..., audio_per_block]
+    rds_bb_i: Optional[Array]   # [..., rds_per_block] post-RRC in-phase
+    rds_bb_q: Optional[Array]
+    rds_symbols: Optional[Array]  # [..., symbols_per_block] int8 hard bits
+    rds_sym_i: Optional[Array]    # sampled I at symbol instants (soft)
+    rds_resync: Optional[Array]   # [...] bool — CDR re-acquired this block
+
+
+def make_params(cfg: ModeConfig) -> ReceiverParams:
+    """Design all filters for a mode (host-side, run once)."""
+    if_fs = cfg.if_fs
+    rf = firdes.lpf(cfg.rf_fs, cfg.rf_fc, cfg.num_taps)
+    audio = firdes.lpf(if_fs * cfg.audio_up, cfg.audio_fc, cfg.audio_taps,
+                       up_factor=cfg.audio_up)
+    bank = [firdes.bpf(if_fs, cfg.pilot_fb, cfg.pilot_fe, cfg.num_taps),
+            firdes.bpf(if_fs, cfg.stereo_fb, cfg.stereo_fe, cfg.num_taps)]
+    carrier = rds_lpf = rrc = None
+    if cfg.supports_rds:
+        bank.append(firdes.bpf(if_fs, cfg.rds_fb, cfg.rds_fe, cfg.num_taps))
+        carrier = jnp.asarray(firdes.bpf(if_fs, cfg.rds_carrier_fb,
+                                         cfg.rds_carrier_fe, cfg.num_taps))
+        rds_lpf = jnp.asarray(firdes.lpf(if_fs * cfg.rds_up, cfg.rds_fc,
+                                         cfg.rds_taps, up_factor=cfg.rds_up))
+        rrc = jnp.asarray(firdes.rrc(cfg.rds_fs, cfg.rds_rrc_taps,
+                                     cfg.rds_symbol_rate))
+    return ReceiverParams(
+        rf_coeff=jnp.asarray(rf),
+        audio_coeff=jnp.asarray(audio),
+        bank_coeff=jnp.asarray(np.stack(bank)),
+        rds_carrier_coeff=carrier,
+        rds_lpf_coeff=rds_lpf,
+        rds_rrc_coeff=rrc,
+    )
+
+
+def init_state(cfg: ModeConfig, batch: tuple[int, ...] = (),
+               dtype=jnp.float32) -> ReceiverState:
+    t = cfg.num_taps
+    z = lambda *s: jnp.zeros((*batch, *s), dtype)  # noqa: E731
+    n_bank = 3 if cfg.supports_rds else 2
+    audio_tail = fir.state_len(cfg.audio_taps, cfg.audio_up)
+    rf = RFState(iq_tail=z(2, t - 1), prev_i=z(), prev_q=z())
+    audio = AudioState(
+        mono_delay=z(t // 2),
+        mono_tail=z(audio_tail),
+        bank_tail=z(n_bank, t - 1),
+        stereo_tail=z(audio_tail),
+        pll=pll.init_state(batch, dtype),
+    )
+    rds = None
+    if cfg.supports_rds:
+        rds = RDSState(
+            carrier_tail=z(t - 1),
+            delay=z(t // 2),
+            lpf_tail_i=z(fir.state_len(cfg.rds_taps, cfg.rds_up)),
+            lpf_tail_q=z(fir.state_len(cfg.rds_taps, cfg.rds_up)),
+            rrc_tail_i=z(cfg.rds_rrc_taps - 1),
+            rrc_tail_q=z(cfg.rds_rrc_taps - 1),
+            pll=pll.init_state(batch, dtype),
+            cdr=CDRState(offset=jnp.zeros(batch, jnp.int32),
+                         found=jnp.zeros(batch, bool)),
+        )
+    return ReceiverState(rf=rf, audio=audio, rds=rds)
+
+
+def _cdr(bb_i: Array, bb_q: Array, state: CDRState, sps: int
+         ) -> tuple[Array, Array, Array, Array, CDRState]:
+    """Clock/data recovery: pick a sampling phase by peak search when
+    unlocked, then sample every ``sps``-th baseband sample.
+
+    Static-shape redesign of ``manchesterEncoded``
+    (fmSupportLib.py:209-247): the reference's searched offset may fall in
+    [0, 2*sps) and it then drops one output ("truncate"); here the offset is
+    reduced mod sps so every block yields exactly ``len/sps`` symbols, and a
+    ``resync`` flag tells the decoder to reset its pairing vote.  The
+    amplitude sanity check (< 0.05 on the last two samples -> re-acquire,
+    fmSupportLib.py:235-238) is kept.
+    """
+    n = bb_i.shape[-1]
+    m = n // sps
+    # candidate offset: strongest sample in the first 2*sps (abs value —
+    # the reference's signed-max comparison is a bug we do not keep)
+    search = jnp.abs(bb_i[..., : 2 * sps])
+    cand = (jnp.argmax(search, axis=-1) % sps).astype(jnp.int32)
+    resync = ~state.found
+    offset = jnp.where(resync, cand, state.offset)
+
+    base = jnp.arange(m, dtype=jnp.int32) * sps          # [m]
+    idx = offset[..., None] + base                        # [..., m]
+    sym_i = jnp.take_along_axis(bb_i, idx, axis=-1)
+    sym_q = jnp.take_along_axis(bb_q, idx, axis=-1)
+    symbols = (sym_i >= 0).astype(jnp.int8)
+
+    thresh = 0.05
+    lost = ((jnp.abs(sym_i[..., -1]) < thresh)
+            & (jnp.abs(sym_i[..., -2]) < thresh))
+    new = CDRState(offset=offset, found=~lost)
+    return sym_i, sym_q, symbols, resync, new
+
+
+def receiver_step(params: ReceiverParams, state: ReceiverState,
+                  iq_u8: Array, cfg: ModeConfig,
+                  precision=jax.lax.Precision.HIGHEST
+                  ) -> tuple[ReceiverState, StepOutputs]:
+    """Process one block of interleaved u8 IQ samples.
+
+    ``iq_u8``: [..., block_size] uint8 (I even, Q odd — iofunc.cpp:113-120).
+    Everything is static-shaped; safe under jit/scan/shard_map.
+    """
+    bs = cfg.block_size
+    assert iq_u8.shape[-1] == bs, (iq_u8.shape, bs)
+    x = (iq_u8.astype(jnp.float32) - 128.0) / 128.0
+    iq = x.reshape((*x.shape[:-1], bs // 2, 2))
+    iq = jnp.moveaxis(iq, -1, -2)  # [..., 2, N] : I row 0, Q row 1
+
+    # ---- RF front end (project.cpp:72-93) ----
+    iq_ds, iq_tail = fir.block_fir_decim(iq, params.rf_coeff,
+                                         state.rf.iq_tail, cfg.rf_decim,
+                                         precision=precision)
+    i_ds, q_ds = iq_ds[..., 0, :], iq_ds[..., 1, :]
+    fm, prev_i, prev_q = demod.fm_demod_diff(i_ds, q_ds, state.rf.prev_i,
+                                             state.rf.prev_q)
+    new_rf = RFState(iq_tail=iq_tail, prev_i=prev_i, prev_q=prev_q)
+
+    # ---- mono path (project.cpp:109-116) ----
+    fm_delayed, mono_delay = mix.delay_block(fm, state.audio.mono_delay)
+    mono, mono_tail = fir.block_fir_resample(
+        fm_delayed, params.audio_coeff, state.audio.mono_tail,
+        up=cfg.audio_up, down=cfg.audio_down, precision=precision)
+
+    # ---- band filter bank over fm_demod (one fused conv) ----
+    bands, bank_tail = fir.block_fir_bank(fm, params.bank_coeff,
+                                          state.audio.bank_tail,
+                                          precision=precision)
+    pilot = bands[..., 0, :]
+    stereo_band = bands[..., 1, :]
+
+    # ---- stereo path (project.cpp:118-133) ----
+    nco, _, pll_state = pll.pll(
+        pilot, state.audio.pll, freq=cfg.pll_freq, fs=cfg.if_fs,
+        nco_scale=cfg.pll_nco_scale, norm_bandwidth=cfg.pll_bandwidth)
+    stereo_mixed = mix.mix(nco, stereo_band, gain=2.0)
+    stereo_lp, stereo_tail = fir.block_fir_resample(
+        stereo_mixed, params.audio_coeff, state.audio.stereo_tail,
+        up=cfg.audio_up, down=cfg.audio_down, precision=precision)
+    left, right = mix.stereo_matrix(mono, stereo_lp)
+
+    new_audio = AudioState(mono_delay=mono_delay, mono_tail=mono_tail,
+                           bank_tail=bank_tail, stereo_tail=stereo_tail,
+                           pll=pll_state)
+
+    # ---- RDS path (fmMonoBlock.py:671-699) ----
+    new_rds = None
+    rds_out = (None,) * 5
+    if cfg.supports_rds:
+        rds = state.rds
+        rds_band = bands[..., 2, :]
+        squared = mix.squaring_nonlinearity(rds_band)
+        carrier, carrier_tail = fir.block_fir(
+            squared, params.rds_carrier_coeff, rds.carrier_tail,
+            precision=precision)
+        rds_delayed, rds_delay = mix.delay_block(rds_band, rds.delay)
+        nco_i, nco_q, rds_pll = pll.pll(
+            carrier, rds.pll, freq=cfg.rds_pll_freq, fs=cfg.if_fs,
+            nco_scale=cfg.rds_pll_nco_scale,
+            norm_bandwidth=cfg.rds_pll_bandwidth)
+        mixed_i = mix.mix(nco_i, rds_delayed, gain=1.0)
+        mixed_q = mix.mix(nco_q, rds_delayed, gain=1.0)
+        lp_i, lpf_tail_i = fir.block_fir_resample(
+            mixed_i, params.rds_lpf_coeff, rds.lpf_tail_i,
+            up=cfg.rds_up, down=cfg.rds_down, precision=precision)
+        lp_q, lpf_tail_q = fir.block_fir_resample(
+            mixed_q, params.rds_lpf_coeff, rds.lpf_tail_q,
+            up=cfg.rds_up, down=cfg.rds_down, precision=precision)
+        bb_i, rrc_tail_i = fir.block_fir(lp_i, params.rds_rrc_coeff,
+                                         rds.rrc_tail_i, precision=precision)
+        bb_q, rrc_tail_q = fir.block_fir(lp_q, params.rds_rrc_coeff,
+                                         rds.rrc_tail_q, precision=precision)
+        sym_i, sym_q, symbols, resync, cdr = _cdr(bb_i, bb_q, rds.cdr,
+                                                  cfg.rds_sps)
+        new_rds = RDSState(carrier_tail=carrier_tail, delay=rds_delay,
+                           lpf_tail_i=lpf_tail_i, lpf_tail_q=lpf_tail_q,
+                           rrc_tail_i=rrc_tail_i, rrc_tail_q=rrc_tail_q,
+                           pll=rds_pll, cdr=cdr)
+        rds_out = (bb_i, bb_q, symbols, sym_i, resync)
+
+    outputs = StepOutputs(mono=mono, left=left, right=right,
+                          rds_bb_i=rds_out[0], rds_bb_q=rds_out[1],
+                          rds_symbols=rds_out[2], rds_sym_i=rds_out[3],
+                          rds_resync=rds_out[4])
+    return ReceiverState(rf=new_rf, audio=new_audio, rds=new_rds), outputs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stereo"))
+def receiver_step_jit(params, state, iq_u8, cfg: ModeConfig,
+                      stereo: bool = True):
+    """Jitted step returning quantised s16 PCM like the reference CLI
+    (project.cpp:307-317)."""
+    new_state, out = receiver_step(params, state, iq_u8, cfg)
+    if stereo:
+        pcm = mix.quantize_s16(mix.interleave(out.left, out.right))
+    else:
+        pcm = mix.quantize_s16(out.mono)
+    return new_state, pcm, out
+
+
+def run_blocks(params, state, iq_u8_blocks, cfg: ModeConfig):
+    """Scan the receiver over a [num_blocks, ..., block_size] stream."""
+    def body(st, blk):
+        st, out = receiver_step(params, st, blk, cfg)
+        return st, out
+    return jax.lax.scan(body, state, iq_u8_blocks)

@@ -1,0 +1,168 @@
+"""RDS/RBDS channel coding: CRC checkwords, offset words, syndrome matrix.
+
+Derived from first principles of the RBDS standard (the reference's
+hand-unrolled parity equations, fmMonoBlock.py:126-152 and 181-190, encode
+the same public spec constants — spec appendix p.23):
+
+* generator polynomial g(x) = x^10 + x^8 + x^7 + x^5 + x^4 + x^3 + 1
+* a transmitted 26-bit block is  m(x)*x^10 + (m(x)*x^10 mod g) + offset
+* offset words select the block type A/B/C/C'/D
+
+Syndrome convention: we use  s(r) = r(x) mod g(x)  directly, under which a
+valid block of type T satisfies  s(r) == offset_T  (because
+m*x^10 + crc == 0 mod g and deg(offset) < 10).  This is mathematically
+equivalent to the spec's H-matrix syndrome (which folds in an extra x^10
+factor) — the *decisions* (which windows are valid, which type) are
+bit-identical, which is what "bit-exact RDS group decode" requires.
+
+``syndrome_matrix()`` gives the GF(2) matrix S with s = (window @ S) mod 2,
+so frame synchronisation over every bit position of a block becomes one
+int8 matmul — MXU-friendly — instead of the reference's per-window
+hand-unrolled XOR ladder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+# g(x), MSB first: x^10 + x^8 + x^7 + x^5 + x^4 + x^3 + 1
+GENPOLY = 0b10110111001
+NBITS_BLOCK = 26
+NBITS_MSG = 16
+NBITS_CRC = 10
+
+# Offset words (10 bits, MSB first), RBDS standard block types.
+OFFSET_WORDS: dict[str, int] = {
+    "A": 0b0011111100,
+    "B": 0b0110011000,
+    "C": 0b0101101000,
+    "Cp": 0b1101010000,
+    "D": 0b0110110100,
+}
+
+BLOCK_TYPES = ("A", "B", "C", "Cp", "D")
+
+
+def _poly_mod(value: int, nbits: int) -> int:
+    """Remainder of a ``nbits``-bit polynomial modulo g(x), GF(2)."""
+    for shift in range(nbits - 1, NBITS_CRC - 1, -1):
+        if (value >> shift) & 1:
+            value ^= GENPOLY << (shift - NBITS_CRC)
+    return value
+
+
+def crc(msg16: int) -> int:
+    """10-bit checkword for a 16-bit message: m*x^10 mod g."""
+    return _poly_mod(msg16 << NBITS_CRC, NBITS_BLOCK)
+
+
+def encode_block(msg16: int, block_type: str) -> int:
+    """26-bit on-air block: message ++ (crc xor offset)."""
+    return (msg16 << NBITS_CRC) | (crc(msg16) ^ OFFSET_WORDS[block_type])
+
+
+def syndrome(block26: int) -> int:
+    """s = r mod g; equals the offset word for a valid block."""
+    return _poly_mod(block26, NBITS_BLOCK)
+
+
+@functools.cache
+def syndrome_matrix() -> np.ndarray:
+    """[26, 10] GF(2) matrix: syndrome bits = window_bits @ S mod 2.
+
+    Row j is x^(25-j) mod g(x) as 10 bits MSB-first, so that a window
+    given as bits[0..25] MSB-first yields the same 10-bit syndrome as
+    ``syndrome()``.
+    """
+    rows = []
+    for j in range(NBITS_BLOCK):
+        rem = _poly_mod(1 << (NBITS_BLOCK - 1 - j), NBITS_BLOCK)
+        rows.append([(rem >> (NBITS_CRC - 1 - b)) & 1
+                     for b in range(NBITS_CRC)])
+    return np.asarray(rows, dtype=np.int8)
+
+
+@functools.cache
+def offset_syndromes() -> np.ndarray:
+    """[5, 10] expected syndrome bit patterns for A, B, C, Cp, D."""
+    out = []
+    for t in BLOCK_TYPES:
+        o = OFFSET_WORDS[t]
+        out.append([(o >> (NBITS_CRC - 1 - b)) & 1 for b in range(NBITS_CRC)])
+    return np.asarray(out, dtype=np.int8)
+
+
+def bits_of(value: int, nbits: int) -> list[int]:
+    return [(value >> (nbits - 1 - i)) & 1 for i in range(nbits)]
+
+
+def int_of(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Group assembly (transmitter side; the reference only has a per-block
+# checkword generator, fmMonoBlock.py:126-152).
+
+
+def make_group_0a(pi: int, pty: int, segment: int, chars: str,
+                  tp: int = 0, ta: int = 0, ms: int = 1, di: int = 0,
+                  af: int = 0xE0E0) -> list[int]:
+    """One type-0A group (program service name) as 4x26 block bits.
+
+    ``segment`` in 0..3 addresses PS characters 2*segment, 2*segment+1.
+    """
+    assert 0 <= segment < 4 and len(chars) == 2
+    block_a = pi
+    block_b = ((0 << 12)            # group type 0
+               | (0 << 11)          # version A
+               | (tp << 10)
+               | ((pty & 0x1F) << 5)
+               | (ta << 4) | (ms << 3) | (di << 2)
+               | (segment & 0x3))
+    block_c = af
+    block_d = (ord(chars[0]) << 8) | ord(chars[1])
+    bits: list[int] = []
+    for msg, t in ((block_a, "A"), (block_b, "B"), (block_c, "C"),
+                   (block_d, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
+def make_ps_bitstream(pi: int, pty: int, ps_name: str,
+                      repeats: int = 1) -> list[int]:
+    """Groups carrying an 8-char program service name, repeated."""
+    ps = (ps_name + " " * 8)[:8]
+    bits: list[int] = []
+    for _ in range(repeats):
+        for seg in range(4):
+            bits.extend(make_group_0a(pi, pty, seg, ps[2 * seg:2 * seg + 2]))
+    return bits
+
+
+def differential_encode(bits) -> list[int]:
+    """d_k = b_k xor d_{k-1} (inverse of the receiver's xor decode,
+    fmMonoBlock.py:108-118)."""
+    out, prev = [], 0
+    for b in bits:
+        prev = int(b) ^ prev
+        out.append(prev)
+    return out
+
+
+def manchester_halves(dbits) -> np.ndarray:
+    """Biphase symbols: bit 1 -> (1, 0), bit 0 -> (0, 1) as +/-1 amplitudes.
+
+    Matches the receiver pairing decode (fmMonoBlock.py:106-115:
+    pair (1,0) -> 1, pair (0,1) -> 0).
+    """
+    out = np.empty(2 * len(dbits), dtype=np.float32)
+    for k, d in enumerate(dbits):
+        hi, lo = (1.0, -1.0) if d else (-1.0, 1.0)
+        out[2 * k], out[2 * k + 1] = hi, lo
+    return out
