@@ -1,0 +1,218 @@
+"""RDS data-link decoding: symbols -> bits -> synchronized groups.
+
+Host-side streaming decoder consuming the per-block symbol tensors produced
+by the device pipeline (``pipeline/receiver.py``).  It covers the
+reference's:
+
+* pairing-phase vote       (``find_pattern`` fmMonoBlock.py:78-92)
+* Manchester + differential decode (``decode`` fmMonoBlock.py:97-122)
+* 26-bit frame synchronisation with in-order tracking, resync and
+  false-positive rejection (``get_window``/``frame_sync_receiver``
+  fmMonoBlock.py:157-284)
+
+but with the syndrome computed for *every* bit position of the buffered
+stream in one vectorised GF(2) matmul (``coding.syndrome_matrix``) instead
+of the reference's per-window XOR ladder.  This runs at 1187.5 bit/s per
+channel — control flow on the host, bulk math vectorised.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from dy4tpu.rds import coding
+
+_SYN_MATRIX = coding.syndrome_matrix().astype(np.int32)       # [26, 10]
+_SYN_POW2 = (1 << np.arange(9, -1, -1)).astype(np.int32)       # MSB first
+_OFFSET_BY_SYNDROME = {v: k for k, v in coding.OFFSET_WORDS.items()}
+_ORDER = {"A": "B", "B": "C", "C": "D", "Cp": "D", "D": "A"}
+
+
+@dataclasses.dataclass
+class Group:
+    """One synchronized RDS group: 4x16-bit message words."""
+    blocks: dict  # type -> int message (16 bits); "Cp" stored under "C"
+    bit_position: int
+
+    @property
+    def pi(self) -> int:
+        return self.blocks["A"]
+
+
+class ManchesterDecoder:
+    """Pairing vote + HL/LH decode + differential decode, streaming.
+
+    Unlike the reference (which assumes an even number of symbols per block,
+    fmMonoBlock.py:78-122), the pairing phase is tracked in *absolute*
+    symbol index so odd-length blocks (e.g. mode 2's 95 symbols/block) keep
+    a consistent pairing across block boundaries.
+    """
+
+    def __init__(self, vote_blocks: int = 4):
+        self.vote_blocks = vote_blocks
+        self.reset()
+
+    def reset(self) -> None:
+        self.symbol_state = 0
+        self.bit_state = 0
+        self.errors = [0, 0]
+        self.blocks_seen = 0
+        self.abs_idx = 0           # absolute index of the next symbol
+        self.phase: Optional[int] = None  # absolute pairing parity
+
+    def _local_start(self, phase: int) -> int:
+        """Local index of the first pair-closing symbol for this block."""
+        return (phase - self.abs_idx) % 2
+
+    def push(self, symbols: np.ndarray) -> np.ndarray:
+        """Consume one block of hard symbols {0,1}; return decoded bits
+        (empty while the pairing vote is still warming up)."""
+        symbols = np.asarray(symbols, np.int8)
+        s_prev = np.concatenate([[self.symbol_state], symbols[:-1]])
+        if self.phase is None:
+            # violation count for each absolute pairing parity
+            # (a Manchester pair must be HL or LH; equal halves = violation)
+            eq = symbols == s_prev
+            for p in (0, 1):
+                self.errors[p] += int(eq[self._local_start(p)::2].sum())
+            self.blocks_seen += 1
+            self.symbol_state = int(symbols[-1])
+            self.abs_idx += len(symbols)
+            if self.blocks_seen >= self.vote_blocks:
+                self.phase = 0 if self.errors[0] <= self.errors[1] else 1
+            return np.empty(0, np.int8)
+
+        start = self._local_start(self.phase)
+        cur = symbols[start::2]
+        prev = s_prev[start::2]
+        # HL -> 1, LH -> 0, violation -> 0 (fmMonoBlock.py:106-115)
+        bits = ((cur == 0) & (prev == 1)).astype(np.int8)
+        # differential decode: out = bit xor previous bit
+        prev_bits = np.concatenate([[self.bit_state], bits[:-1]])
+        out = bits ^ prev_bits
+        self.bit_state = int(bits[-1]) if len(bits) else self.bit_state
+        self.symbol_state = int(symbols[-1])
+        self.abs_idx += len(symbols)
+        return out
+
+    @property
+    def start(self) -> Optional[int]:
+        """Chosen pairing parity (absolute); kept for test/API parity."""
+        return self.phase
+
+
+class FrameSynchronizer:
+    """26-bit block sync with in-order tracking and re-acquisition."""
+
+    def __init__(self, max_misses: int = 2):
+        self.max_misses = max_misses
+        self.reset()
+
+    def reset(self) -> None:
+        self.buf = np.empty(0, np.int8)
+        self.pos_base = 0          # absolute bit index of buf[0]
+        self.cursor = 0            # next window start within buf
+        self.synced = False
+        self.expected: Optional[str] = None
+        self.misses = 0
+        self.current: dict = {}
+
+    @staticmethod
+    def _syndromes(bits: np.ndarray) -> np.ndarray:
+        """Syndrome (as 10-bit int) for every window start in ``bits``.
+
+        [n] -> [n-25] via sliding-window GF(2) matmul.
+        """
+        n = len(bits)
+        if n < 26:
+            return np.empty(0, np.int32)
+        win = np.lib.stride_tricks.sliding_window_view(bits, 26)
+        s = (win.astype(np.int32) @ _SYN_MATRIX) & 1
+        return s @ _SYN_POW2
+
+    def push(self, bits: np.ndarray) -> Iterator[Group]:
+        self.buf = np.concatenate([self.buf, np.asarray(bits, np.int8)])
+        syn = self._syndromes(self.buf)
+
+        while self.cursor < len(syn):
+            s = int(syn[self.cursor])
+            btype = _OFFSET_BY_SYNDROME.get(s)
+            abs_pos = self.pos_base + self.cursor
+
+            if not self.synced:
+                if btype is not None:
+                    self.synced = True
+                    self.misses = 0
+                    self.current = {}
+                    self._collect(btype, abs_pos)
+                    self.cursor += 26
+                else:
+                    self.cursor += 1
+                continue
+
+            # synced: windows advance a full block at a time
+            if btype is not None and (self.expected is None
+                                      or btype == self.expected
+                                      or (self.expected == "C"
+                                          and btype == "Cp")):
+                self.misses = 0
+                self._collect(btype, abs_pos)
+            else:
+                # bad or out-of-order block (fmMonoBlock.py:199-283)
+                self.misses += 1
+                self.current = {}
+                if self.misses > self.max_misses:
+                    self.synced = False
+                    self.expected = None
+                    self.cursor += 1
+                    continue
+            self.cursor += 26
+
+            if len(self.current) == 4:
+                grp = Group(blocks=dict(self.current), bit_position=abs_pos)
+                self.current = {}
+                yield grp
+
+        # drop consumed bits, keep a 25-bit overlap for future windows
+        keep_from = min(self.cursor, max(0, len(self.buf) - 25))
+        self.buf = self.buf[keep_from:]
+        self.pos_base += keep_from
+        self.cursor -= keep_from
+
+    def _collect(self, btype: str, abs_pos: int) -> None:
+        window = self.buf[self.cursor:self.cursor + 26]
+        msg = coding.int_of(window[:16])
+        key = "C" if btype == "Cp" else btype
+        if btype == "A":
+            self.current = {}
+        self.current[key] = msg
+        self.expected = _ORDER[btype]
+
+
+class RDSDecoder:
+    """Full symbols -> groups decoder for one channel."""
+
+    def __init__(self, on_group: Optional[Callable[[Group], None]] = None):
+        self.manchester = ManchesterDecoder()
+        self.framer = FrameSynchronizer()
+        self.on_group = on_group
+        self.groups: list[Group] = []
+
+    def push_block(self, symbols: np.ndarray, resync: bool = False
+                   ) -> list[Group]:
+        """Consume one device block's symbols; returns groups completed."""
+        if resync:
+            # CDR re-acquired timing: symbol phase may have shifted, so the
+            # pairing vote and frame sync restart (fmSupportLib.py:235-244)
+            self.manchester.reset()
+            self.framer.reset()
+        bits = self.manchester.push(symbols)
+        out = list(self.framer.push(bits)) if len(bits) else []
+        self.groups.extend(out)
+        if self.on_group:
+            for g in out:
+                self.on_group(g)
+        return out
