@@ -1,0 +1,74 @@
+"""Benchmark: mode-0 full-chain (mono+stereo+RDS DSP) IQ throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MS/s", "vs_baseline": N}
+
+``value`` is complex-IQ megasamples/s through the complete per-block
+receiver on one chip (batched over channels, scanned over blocks).
+``vs_baseline`` is the real-time factor vs the reference contract of one
+station at 2.4 MS/s (constraints pdf p.2) — the reference C++ on an RPi 4
+runs ~1x real time for one station with no RDS; BASELINE.md's north-star
+target is >=62.5x per chip (1000x on 16 chips).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dy4tpu.config import get_mode
+from dy4tpu.pipeline import receiver
+
+
+def main() -> None:
+    cfg = get_mode(0)
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    channels = int(os.environ.get("BENCH_CHANNELS", 32 if on_tpu else 2))
+    n_blocks = int(os.environ.get("BENCH_BLOCKS", 16 if on_tpu else 2))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
+
+    params = receiver.make_params(cfg)
+    state = receiver.init_state(cfg, batch=(channels,))
+    rng = np.random.default_rng(0)
+    iq = jnp.asarray(rng.integers(
+        0, 256, (n_blocks, channels, cfg.block_size), dtype=np.uint8))
+
+    @jax.jit
+    def run(state, blocks):
+        def body(st, blk):
+            st, out = receiver.receiver_step(params, st, blk, cfg)
+            return st, (out.mono, out.left, out.right, out.rds_symbols)
+        return lax.scan(body, state, blocks)
+
+    # warm-up / compile
+    st, outs = run(state, iq)
+    jax.block_until_ready(outs)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        st, outs = run(st, iq)
+        jax.block_until_ready(outs)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    iq_samples = n_blocks * channels * cfg.iq_per_block  # complex samples
+    msps = iq_samples / best / 1e6
+    rt = msps * 1e6 / cfg.rf_fs  # x-real-time (stations decoded live)
+    print(json.dumps({
+        "metric": "mode0_full_chain_iq_throughput_per_chip",
+        "value": round(msps, 3),
+        "unit": "MS/s",
+        "vs_baseline": round(rt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
