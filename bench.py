@@ -30,8 +30,8 @@ def main() -> None:
     cfg = get_mode(0)
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    channels = int(os.environ.get("BENCH_CHANNELS", 32 if on_tpu else 2))
-    n_blocks = int(os.environ.get("BENCH_BLOCKS", 16 if on_tpu else 2))
+    channels = int(os.environ.get("BENCH_CHANNELS", 64 if on_tpu else 2))
+    n_blocks = int(os.environ.get("BENCH_BLOCKS", 32 if on_tpu else 2))
     repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
 
     params = receiver.make_params(cfg)

@@ -1,0 +1,223 @@
+"""Command-line receiver: the reference CLI, TPU-native.
+
+Contract (constraints pdf p.2; src/project.cpp:137-174): read interleaved
+8-bit unsigned IQ on stdin, write S16LE PCM on stdout, keep stderr for
+human-facing output:
+
+    cat samples.raw | python -m dy4tpu 0 s | aplay -f S16_LE -c 2 -r 48000
+    rtl_sdr -f 99.9M -s 2.4M - | python -m dy4tpu 0 r
+
+Paths: ``m``/``mono``, ``s``/``stereo``, ``r``/``rds`` (mono audio + RDS
+console output).  The reference accepts only ``mono|stereo`` and has no
+real-time RDS at all (project.cpp:158-165; Final Report p.5) — here all
+three run on-device.
+
+Pipeline shape: where the reference spawns a frontend/backend thread pair
+per block joined by a mutex queue (project.cpp:289-305), here each block is
+one async device dispatch; the host overlaps reading block k+1 and writing
+block k-1's PCM with the device computing block k (JAX dispatch is
+asynchronous until the output is materialised).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from dy4tpu.config import get_mode
+from dy4tpu.utils import io as dio
+
+_PATHS = {"m": "mono", "mono": "mono",
+          "s": "stereo", "stereo": "stereo",
+          "r": "rds", "rds": "rds"}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dy4tpu",
+        description="TPU-native FM broadcast receiver (mono/stereo/RDS)")
+    p.add_argument("mode", type=int, choices=[0, 1, 2, 3],
+                   help="operating mode (sample-rate preset)")
+    p.add_argument("path", choices=sorted(_PATHS),
+                   help="m=mono, s=stereo, r=mono+RDS")
+    p.add_argument("--input", default=None, metavar="FILE",
+                   help="u8 IQ capture file (default: stdin)")
+    p.add_argument("--output", default=None, metavar="FILE",
+                   help="PCM output file (default: stdout)")
+    p.add_argument("--wav", default=None, metavar="FILE",
+                   help="also write decoded audio to a WAV file")
+    p.add_argument("--max-blocks", type=int, default=None,
+                   help="stop after N blocks")
+    p.add_argument("--stats", action="store_true",
+                   help="per-100-block throughput on stderr")
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="save receiver state here on EOF/interrupt")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="also checkpoint every N blocks")
+    p.add_argument("--resume", default=None, metavar="FILE",
+                   help="resume from a checkpoint file")
+    p.add_argument("--no-native", action="store_true",
+                   help="use pure-Python stream I/O instead of the native "
+                        "runtime (ring buffers + I/O threads)")
+    return p
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    args = build_argparser().parse_args(argv)
+    path = _PATHS[args.path]
+    cfg = get_mode(args.mode)
+
+    want_rds = path == "rds"
+    if want_rds and not cfg.supports_rds:
+        print(f"mode {args.mode} does not support RDS "
+              f"(constraints pdf p.1: SPS defined for modes 0 and 2)",
+              file=sys.stderr)
+        return 2
+
+    import os
+
+    import jax
+    if os.environ.get("DY4TPU_PLATFORM"):
+        # env-var platform forcing (JAX_PLATFORMS alone is overridden when
+        # a TPU plugin pre-registers itself)
+        jax.config.update("jax_platforms", os.environ["DY4TPU_PLATFORM"])
+    import jax.numpy as jnp
+    from dy4tpu.pipeline import receiver
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import RDSDecoder
+    from dy4tpu.utils import checkpoint as ckpt
+
+    stereo = path == "stereo"
+    params = receiver.make_params(cfg, with_rds=want_rds)
+    state = receiver.init_state(cfg, batch=(1,), with_rds=want_rds)
+    block0 = 0
+    decoder = RDSDecoder() if want_rds else None
+    applayer = ApplicationLayer(verbose=True) if want_rds else None
+
+    if args.resume:
+        state, host, meta = ckpt.load(args.resume)
+        block0 = int(meta.get("block", 0))
+        if want_rds and "manchester" in host:
+            decoder.manchester = host["manchester"]
+            decoder.framer = host["framer"]
+        print(f"resumed from {args.resume} at block {block0}",
+              file=sys.stderr)
+
+    def save_checkpoint(block: int) -> None:
+        if not args.checkpoint:
+            return
+        host = {}
+        if decoder is not None:
+            host = {"manchester": decoder.manchester,
+                    "framer": decoder.framer}
+        ckpt.save(args.checkpoint, state, host_state=host,
+                  meta={"block": block, "mode": args.mode, "path": path})
+
+    if applayer is not None:
+        decoder.on_group = applayer.process
+
+    fin = open(args.input, "rb") if args.input else None
+    fout = open(args.output, "wb") if args.output else None
+    wav_chunks: list[np.ndarray] = []
+
+    # native streaming runtime: reader/writer threads + SPSC rings keep the
+    # pipes flowing while the device computes (replaces the reference's
+    # frontend-thread + threadSafeQ, project.cpp:289-305)
+    source = sink = None
+    if not args.no_native:
+        try:
+            from dy4tpu.runtime import NativeSink, NativeSource, available
+            if available():
+                in_fd = fin.fileno() if fin else sys.stdin.buffer.fileno()
+                out_fd = (fout.fileno() if fout
+                          else sys.stdout.buffer.fileno())
+                source = NativeSource(in_fd, cfg.block_size,
+                                      capacity_blocks=8)
+                sink = NativeSink(out_fd)
+        except Exception as e:  # fall back to Python I/O
+            print(f"native runtime unavailable ({e}); using Python I/O",
+                  file=sys.stderr)
+            source = sink = None
+
+    n_done = 0
+    pending = None  # (pcm device array, outputs) still computing
+    t0 = time.perf_counter()
+    t_report = t0
+
+    def drain(p) -> None:
+        nonlocal n_done, t_report
+        pcm_dev, out = p
+        pcm = np.asarray(pcm_dev)[0]
+        if sink is not None:
+            sink.push(np.ascontiguousarray(pcm, dtype="<i2"))
+        else:
+            dio.write_pcm(fout, pcm)
+        if args.wav:
+            wav_chunks.append(pcm.astype(np.float32) / 16384.0)
+        if decoder is not None:
+            decoder.push_block(np.asarray(out.rds_symbols)[0],
+                               resync=bool(np.asarray(out.rds_resync)[0]))
+        n_done += 1
+        if args.stats and n_done % 100 == 0:
+            now = time.perf_counter()
+            iq_rate = 100 * cfg.iq_per_block / (now - t_report)
+            print(f"block {block0 + n_done}: {iq_rate/1e6:.1f} MS/s "
+                  f"({iq_rate / cfg.rf_fs:.1f}x real-time)",
+                  file=sys.stderr)
+            t_report = now
+
+    blocks_iter = (iter(source) if source is not None
+                   else dio.read_iq_blocks(fin, cfg.block_size))
+    try:
+        for i, blk in enumerate(blocks_iter):
+            if args.max_blocks is not None and i >= args.max_blocks:
+                break
+            state, pcm, out = receiver.receiver_step_jit(
+                params, state, jnp.asarray(blk)[None], cfg,
+                stereo=stereo, with_rds=want_rds)
+            if pending is not None:
+                drain(pending)
+            pending = (pcm, out)
+            if (args.checkpoint_every and args.checkpoint
+                    and (i + 1) % args.checkpoint_every == 0):
+                save_checkpoint(block0 + i + 1)
+        if pending is not None:
+            drain(pending)
+    except KeyboardInterrupt:
+        print("interrupted", file=sys.stderr)
+    finally:
+        save_checkpoint(block0 + n_done)
+        if source is not None:
+            source.close()
+        if sink is not None:
+            sink.flush()
+            sink.close()
+        if fin:
+            fin.close()
+        if args.wav and wav_chunks:
+            audio = np.concatenate(wav_chunks)
+            if stereo:
+                audio = audio.reshape(-1, 2)
+            dio.write_wav(args.wav, audio, cfg.audio_fs)
+        if fout:
+            fout.close()
+
+    dt = time.perf_counter() - t0
+    iq = n_done * cfg.iq_per_block
+    print(f"processed {n_done} blocks ({iq/1e6:.1f} MIQ samples) in "
+          f"{dt:.2f}s = {iq/dt/1e6:.1f} MS/s "
+          f"({iq/dt/cfg.rf_fs:.1f}x real-time)", file=sys.stderr)
+    if applayer is not None:
+        info = applayer.info
+        print(f"RDS: PI={info.pi_hex} PTY={info.pty_name!r} "
+              f"PS={info.ps_name!r} ({info.groups_seen} groups)",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,12 +67,77 @@ def init_state(batch: tuple[int, ...] = (), dtype=jnp.float32) -> PLLState:
 def pll(pll_in: Array, state: PLLState, *, freq: float, fs: float,
         nco_scale: float = 1.0, phase_adjust: float = 0.0,
         norm_bandwidth: float = 0.01,
-        unroll: int = 8) -> tuple[Array, Array, PLLState]:
-    """Run the PLL over a block.
+        unroll: int = 32) -> tuple[Array, Array, PLLState]:
+    """Run the PLL over a block (algebraic fast path).
 
     ``pll_in``: [..., N]; state fields: [...].  Returns
     ``(nco_i, nco_q, new_state)`` with outputs shaped like the input.
+
+    The reference phase detector is
+        errorD = atan2(-x*sin(phi), x*cos(phi)),  phi = angle + phaseEst,
+    and since atan2 is scale-invariant this equals exactly
+        wrap(pi*[x < 0] - phi)   (wrap to (-pi, pi]),
+    i.e. the input enters only through its *sign*.  The scan body therefore
+    needs no transcendentals at all — arctan2/cos/sin of the reference loop
+    (filter.cpp:196-216) hoist out: the sign targets are precomputed
+    vectorized, the NCO cos/sin are applied vectorized to the emitted phase
+    sequence after the scan.  The recurrence itself is ~8 adds/multiplies on
+    a [channels] vector per sample.
     """
+    dtype = pll_in.dtype
+    kp = dtype.type(norm_bandwidth * _CP)
+    ki = dtype.type(norm_bandwidth * norm_bandwidth * _CI)
+    dtheta = dtype.type(2.0 * jnp.pi * (freq / fs))
+    pi = dtype.type(jnp.pi)
+    two_pi = dtype.type(2.0 * jnp.pi)
+    wrap = dtype.type(_WRAP)
+
+    x = jnp.moveaxis(pll_in, -1, 0)  # [N, ...] scan over time
+    target = jnp.where(x < 0, pi, dtype.type(0.0))
+    is_zero = x == 0.0  # model zero-input guard (fmMonoBlock.py:359-362)
+
+    def step(carry, inp):
+        integrator, phase_est, angle = carry
+        tk, zk = inp
+        phi = angle + phase_est
+        # wrap(tk - phi) to [-pi, pi) == atan2 phase detector (see above)
+        v = tk - phi + pi
+        error_d = v - two_pi * jnp.floor(v / two_pi) - pi
+        error_d = jnp.where(zk, 0.0, error_d)
+        integrator = integrator + ki * error_d
+        phase_est = jnp.mod(phase_est + kp * error_d + integrator, wrap)
+        angle = jnp.mod(angle + dtheta, wrap)
+        # Emit the *previous* phase: output k is the NCO computed at k-1.
+        return (integrator, phase_est, angle), phi
+
+    carry0 = (state.integrator, state.phase_est, state.angle)
+    (integ, pe, ang), phis = lax.scan(step, carry0, (target, is_zero),
+                                      unroll=unroll)
+    phis = jnp.moveaxis(phis, 0, -1)                   # [..., N]
+    out_arg = phis * dtype.type(nco_scale) + dtype.type(phase_adjust)
+    nco_i = jnp.cos(out_arg)
+    nco_q = jnp.sin(out_arg)
+    # first output comes from the carried NCO (handles the reference's
+    # inconsistent q_ncoState=1.0 init, fmMonoBlock.py:441)
+    nco_i = jnp.concatenate([state.nco[..., None], nco_i[..., 1:]], -1)
+    nco_q = jnp.concatenate([state.nco_q[..., None], nco_q[..., 1:]], -1)
+
+    phi_end = ang + pe
+    end_arg = phi_end * dtype.type(nco_scale) + dtype.type(phase_adjust)
+    new_state = PLLState(
+        feedback_i=jnp.cos(phi_end), feedback_q=jnp.sin(phi_end),
+        integrator=integ, phase_est=pe, angle=ang,
+        nco=jnp.cos(end_arg), nco_q=jnp.sin(end_arg))
+    return nco_i, nco_q, new_state
+
+
+def pll_reference(pll_in: Array, state: PLLState, *, freq: float, fs: float,
+                  nco_scale: float = 1.0, phase_adjust: float = 0.0,
+                  norm_bandwidth: float = 0.01,
+                  unroll: int = 8) -> tuple[Array, Array, PLLState]:
+    """Literal transcription of the reference loop (filter.cpp:174-228):
+    one arctan2 + cos/sin pair per sample inside the scan.  Kept as the
+    cross-check for the algebraic fast path (tests/test_demod_pll.py)."""
     kp = norm_bandwidth * _CP
     ki = norm_bandwidth * norm_bandwidth * _CI
     dtheta = 2.0 * jnp.pi * (freq / fs)

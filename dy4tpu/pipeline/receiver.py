@@ -93,8 +93,17 @@ class StepOutputs(NamedTuple):
     rds_resync: Optional[Array]   # [...] bool — CDR re-acquired this block
 
 
-def make_params(cfg: ModeConfig) -> ReceiverParams:
-    """Design all filters for a mode (host-side, run once)."""
+def _rds_on(cfg: ModeConfig, with_rds) -> bool:
+    return cfg.supports_rds if with_rds is None else (
+        bool(with_rds) and cfg.supports_rds)
+
+
+def make_params(cfg: ModeConfig, with_rds: Optional[bool] = None
+                ) -> ReceiverParams:
+    """Design all filters for a mode (host-side, run once).
+
+    ``with_rds=False`` omits the RDS filters (and must be matched by the
+    same flag in ``init_state``/``receiver_step``)."""
     if_fs = cfg.if_fs
     rf = firdes.lpf(cfg.rf_fs, cfg.rf_fc, cfg.num_taps)
     audio = firdes.lpf(if_fs * cfg.audio_up, cfg.audio_fc, cfg.audio_taps,
@@ -102,7 +111,7 @@ def make_params(cfg: ModeConfig) -> ReceiverParams:
     bank = [firdes.bpf(if_fs, cfg.pilot_fb, cfg.pilot_fe, cfg.num_taps),
             firdes.bpf(if_fs, cfg.stereo_fb, cfg.stereo_fe, cfg.num_taps)]
     carrier = rds_lpf = rrc = None
-    if cfg.supports_rds:
+    if _rds_on(cfg, with_rds):
         bank.append(firdes.bpf(if_fs, cfg.rds_fb, cfg.rds_fe, cfg.num_taps))
         carrier = jnp.asarray(firdes.bpf(if_fs, cfg.rds_carrier_fb,
                                          cfg.rds_carrier_fe, cfg.num_taps))
@@ -121,10 +130,12 @@ def make_params(cfg: ModeConfig) -> ReceiverParams:
 
 
 def init_state(cfg: ModeConfig, batch: tuple[int, ...] = (),
-               dtype=jnp.float32) -> ReceiverState:
+               dtype=jnp.float32,
+               with_rds: Optional[bool] = None) -> ReceiverState:
     t = cfg.num_taps
     z = lambda *s: jnp.zeros((*batch, *s), dtype)  # noqa: E731
-    n_bank = 3 if cfg.supports_rds else 2
+    rds_on = _rds_on(cfg, with_rds)
+    n_bank = 3 if rds_on else 2
     audio_tail = fir.state_len(cfg.audio_taps, cfg.audio_up)
     rf = RFState(iq_tail=z(2, t - 1), prev_i=z(), prev_q=z())
     audio = AudioState(
@@ -135,7 +146,7 @@ def init_state(cfg: ModeConfig, batch: tuple[int, ...] = (),
         pll=pll.init_state(batch, dtype),
     )
     rds = None
-    if cfg.supports_rds:
+    if rds_on:
         rds = RDSState(
             carrier_tail=z(t - 1),
             delay=z(t // 2),
@@ -187,7 +198,8 @@ def _cdr(bb_i: Array, bb_q: Array, state: CDRState, sps: int
 
 def receiver_step(params: ReceiverParams, state: ReceiverState,
                   iq_u8: Array, cfg: ModeConfig,
-                  precision=jax.lax.Precision.HIGHEST
+                  precision=jax.lax.Precision.HIGHEST,
+                  with_rds: Optional[bool] = None
                   ) -> tuple[ReceiverState, StepOutputs]:
     """Process one block of interleaved u8 IQ samples.
 
@@ -239,7 +251,7 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
     # ---- RDS path (fmMonoBlock.py:671-699) ----
     new_rds = None
     rds_out = (None,) * 5
-    if cfg.supports_rds:
+    if _rds_on(cfg, with_rds) and state.rds is not None:
         rds = state.rds
         rds_band = bands[..., 2, :]
         squared = mix.squaring_nonlinearity(rds_band)
@@ -278,12 +290,15 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
     return ReceiverState(rf=new_rf, audio=new_audio, rds=new_rds), outputs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "stereo"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "stereo", "with_rds"))
 def receiver_step_jit(params, state, iq_u8, cfg: ModeConfig,
-                      stereo: bool = True):
+                      stereo: bool = True,
+                      with_rds: Optional[bool] = None):
     """Jitted step returning quantised s16 PCM like the reference CLI
     (project.cpp:307-317)."""
-    new_state, out = receiver_step(params, state, iq_u8, cfg)
+    new_state, out = receiver_step(params, state, iq_u8, cfg,
+                                   with_rds=with_rds)
     if stereo:
         pcm = mix.quantize_s16(mix.interleave(out.left, out.right))
     else:

@@ -1,0 +1,190 @@
+"""ctypes binding to the native host runtime (native/dy4_runtime.cpp).
+
+The native layer replaces the reference's host plumbing — threadSafeQ
+(src/threadSafeQ.cpp) and the stdin/stdout block loops (src/iofunc.cpp:113,
+project.cpp:313-317) — with an SPSC ring buffer and dedicated I/O threads,
+so the JAX dispatch loop never blocks on a pipe.  Built on demand with
+``make -C native`` (g++ only; no pybind11 needed — plain C ABI).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdy4runtime.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native runtime; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and build:
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                           capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.dy4_ring_create.restype = ctypes.c_void_p
+    lib.dy4_ring_create.argtypes = [ctypes.c_size_t]
+    lib.dy4_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.dy4_ring_push.restype = ctypes.c_size_t
+    lib.dy4_ring_push.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t]
+    lib.dy4_ring_pop.restype = ctypes.c_size_t
+    lib.dy4_ring_pop.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t]
+    lib.dy4_ring_readable.restype = ctypes.c_size_t
+    lib.dy4_ring_readable.argtypes = [ctypes.c_void_p]
+    lib.dy4_ring_wait_readable.restype = ctypes.c_size_t
+    lib.dy4_ring_wait_readable.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                           ctypes.c_long]
+    lib.dy4_ring_set_eof.argtypes = [ctypes.c_void_p]
+    lib.dy4_source_create.restype = ctypes.c_void_p
+    lib.dy4_source_create.argtypes = [ctypes.c_int, ctypes.c_size_t,
+                                      ctypes.c_size_t]
+    lib.dy4_source_next.restype = ctypes.c_int
+    lib.dy4_source_next.argtypes = [ctypes.c_void_p, u8p, ctypes.c_long]
+    lib.dy4_source_buffered.restype = ctypes.c_size_t
+    lib.dy4_source_buffered.argtypes = [ctypes.c_void_p]
+    lib.dy4_source_destroy.argtypes = [ctypes.c_void_p]
+    lib.dy4_sink_create.restype = ctypes.c_void_p
+    lib.dy4_sink_create.argtypes = [ctypes.c_int, ctypes.c_size_t]
+    lib.dy4_sink_push.restype = ctypes.c_int
+    lib.dy4_sink_push.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t,
+                                  ctypes.c_long]
+    lib.dy4_sink_flush.restype = ctypes.c_int
+    lib.dy4_sink_flush.argtypes = [ctypes.c_void_p, ctypes.c_long]
+    lib.dy4_sink_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class Ring:
+    """SPSC byte ring (threadSafeQ parity, src/threadSafeQ.cpp:18-55)."""
+
+    def __init__(self, capacity: int):
+        self._lib = load_library()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._h = self._lib.dy4_ring_create(capacity)
+
+    def push(self, data: np.ndarray) -> int:
+        data = np.ascontiguousarray(data, np.uint8)
+        return self._lib.dy4_ring_push(self._h, _u8ptr(data), data.size)
+
+    def pop(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.uint8)
+        got = self._lib.dy4_ring_pop(self._h, _u8ptr(out), n)
+        return out[:got]
+
+    def readable(self) -> int:
+        return self._lib.dy4_ring_readable(self._h)
+
+    def wait_readable(self, n: int, timeout_ms: int = -1) -> int:
+        return self._lib.dy4_ring_wait_readable(self._h, n, timeout_ms)
+
+    def set_eof(self) -> None:
+        self._lib.dy4_ring_set_eof(self._h)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.dy4_ring_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+
+class NativeSource:
+    """Background fd reader yielding fixed-size u8 blocks."""
+
+    def __init__(self, fd: int, block_bytes: int, capacity_blocks: int = 8):
+        self._lib = load_library()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self.block_bytes = block_bytes
+        self._h = self._lib.dy4_source_create(fd, block_bytes,
+                                              capacity_blocks)
+
+    def next_block(self, timeout_ms: int = -1) -> Optional[np.ndarray]:
+        """Next full block, or None at EOF.  Raises TimeoutError."""
+        out = np.empty(self.block_bytes, np.uint8)
+        rc = self._lib.dy4_source_next(self._h, _u8ptr(out), timeout_ms)
+        if rc == 1:
+            return out
+        if rc == 0:
+            return None
+        raise TimeoutError("source read timed out")
+
+    def buffered(self) -> int:
+        return self._lib.dy4_source_buffered(self._h)
+
+    def __iter__(self):
+        while True:
+            blk = self.next_block()
+            if blk is None:
+                return
+            yield blk
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.dy4_source_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+
+class NativeSink:
+    """Background fd writer consuming byte chunks."""
+
+    def __init__(self, fd: int, capacity_bytes: int = 1 << 22):
+        self._lib = load_library()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._h = self._lib.dy4_sink_create(fd, capacity_bytes)
+
+    def push(self, data: np.ndarray, timeout_ms: int = -1) -> None:
+        data = np.ascontiguousarray(data).view(np.uint8).ravel()
+        rc = self._lib.dy4_sink_push(self._h, _u8ptr(data), data.size,
+                                     timeout_ms)
+        if rc == -2:
+            raise BrokenPipeError("sink downstream write failed")
+        if rc != 1:
+            raise TimeoutError("sink push timed out")
+
+    def flush(self, timeout_ms: int = 10000) -> None:
+        rc = self._lib.dy4_sink_flush(self._h, timeout_ms)
+        if rc == -2:
+            raise BrokenPipeError("sink downstream write failed")
+        if rc != 1:
+            raise TimeoutError("sink flush timed out")
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.dy4_sink_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()

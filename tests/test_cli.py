@@ -1,0 +1,75 @@
+"""End-to-end CLI tests: the `python -m dy4tpu` surface over real pipes.
+
+The reference's contract: u8 IQ in, S16LE PCM out, stderr for humans
+(constraints pdf p.2).  Runs in subprocesses on the CPU platform.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dy4tpu.config import get_mode
+from dy4tpu.rds import coding
+from dy4tpu.tx import fm
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "DY4TPU_PLATFORM": "cpu"}
+
+
+def _capture(n_blocks=6, rds=False):
+    cfg = get_mode(0)
+    n_audio = n_blocks * cfg.audio_per_block
+    left = fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.7)
+    right = fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.7)
+    bits = (coding.make_ps_bitstream(0xBEEF, 10, "TESTING!", repeats=40)
+            if rds else None)
+    return cfg, fm.synthesize(cfg, n_blocks, left=left, right=right,
+                              rds_bits=bits)
+
+
+def _run(args, stdin_bytes, timeout=600):
+    return subprocess.run(
+        [sys.executable, "-m", "dy4tpu", *args], input=stdin_bytes,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        cwd=REPO, env=ENV, timeout=timeout)
+
+
+def test_cli_stereo_pipe():
+    cfg, iq = _capture(6)
+    p = _run(["0", "s"], iq.tobytes())
+    assert p.returncode == 0, p.stderr.decode()
+    pcm = np.frombuffer(p.stdout, "<i2")
+    assert len(pcm) == 6 * cfg.audio_per_block * 2  # interleaved L/R
+    # the 800 Hz tone must dominate the left channel after warm-up
+    left = pcm[0::2][3 * cfg.audio_per_block:] / 16384.0
+    t = np.arange(len(left)) / cfg.audio_fs
+    p800 = np.abs(left @ np.exp(-2j * np.pi * 800.0 * t)) / len(left)
+    p2400 = np.abs(left @ np.exp(-2j * np.pi * 2400.0 * t)) / len(left)
+    assert p800 > 3 * p2400
+    assert b"processed 6 blocks" in p.stderr
+
+
+def test_cli_mono_output_length():
+    cfg, iq = _capture(4)
+    p = _run(["0", "m"], iq.tobytes())
+    assert p.returncode == 0, p.stderr.decode()
+    assert len(np.frombuffer(p.stdout, "<i2")) == 4 * cfg.audio_per_block
+
+
+def test_cli_rejects_rds_on_unsupported_mode():
+    p = _run(["1", "r"], b"")
+    assert p.returncode == 2
+    assert b"does not support RDS" in p.stderr
+
+
+@pytest.mark.slow
+def test_cli_rds_decodes_station():
+    cfg, iq = _capture(20, rds=True)
+    p = _run(["0", "r"], iq.tobytes())
+    assert p.returncode == 0, p.stderr.decode()
+    err = p.stderr.decode()
+    assert "PI=BEEF" in err, err
+    assert "TESTING!" in err, err

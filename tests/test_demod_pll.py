@@ -101,3 +101,25 @@ def test_pll_batched():
         ref = naive.PLL()
         ri, _ = ref.run(x[b].astype(np.float32), 19e3, fs, nco_scale=2.0)
         np.testing.assert_allclose(np.asarray(nco[b]), ri, atol=2e-3)
+
+
+def test_pll_fast_matches_reference_impl():
+    """The algebraic scan (sign target + wrap) must track the literal
+    transcription (arctan2 + trig in the loop) to float tolerance."""
+    fs = 240e3
+    t = np.arange(8192) / fs
+    x = (np.cos(2 * np.pi * 19e3 * t + 0.4)
+         + 0.1 * RNG.normal(size=len(t))).astype(np.float32)
+    x[100] = 0.0  # exercise the zero-input guard
+
+    st_a = pll.init_state()
+    st_b = pll.init_state()
+    for sl in (slice(0, 4096), slice(4096, 8192)):
+        a_i, a_q, st_a = pll.pll(jnp.asarray(x[sl]), st_a,
+                                 freq=19e3, fs=fs, nco_scale=2.0)
+        b_i, b_q, st_b = pll.pll_reference(jnp.asarray(x[sl]), st_b,
+                                           freq=19e3, fs=fs, nco_scale=2.0)
+        np.testing.assert_allclose(np.asarray(a_i), np.asarray(b_i),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(a_q), np.asarray(b_q),
+                                   atol=5e-3)

@@ -1,0 +1,77 @@
+"""Native host runtime: SPSC ring, source/sink threads over real pipes.
+
+Covers the reference's threadSafeQ semantics (src/threadSafeQ.cpp:18-55)
+and the stdin block-reader contract — short trailing reads are dropped
+(iofunc.cpp:113-120, project.cpp:293-296).
+"""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from dy4tpu.runtime import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native runtime not built")
+
+
+def test_ring_roundtrip_and_wrap():
+    r = native.Ring(256)  # rounds up to a power of two
+    data = np.arange(1000, dtype=np.int64).astype(np.uint8)
+    written = 0
+    read = []
+    while written < len(data) or r.readable():
+        if written < len(data):
+            written += r.push(data[written:written + 100])
+        got = r.pop(64)
+        if len(got):
+            read.append(got)
+    np.testing.assert_array_equal(np.concatenate(read), data)
+
+
+def test_ring_blocking_dequeue():
+    """Consumer blocks until the producer delivers (threadSafeQ.cpp:34-47)."""
+    r = native.Ring(1024)
+    payload = np.arange(128, dtype=np.uint8)
+
+    def produce():
+        r.push(payload)
+
+    t = threading.Timer(0.05, produce)
+    t.start()
+    n = r.wait_readable(128, timeout_ms=5000)
+    t.join()
+    assert n >= 128
+    np.testing.assert_array_equal(r.pop(128), payload)
+
+
+def test_source_blocks_and_eof():
+    rd, wr = os.pipe()
+    src = native.NativeSource(rd, block_bytes=100, capacity_blocks=4)
+    os.write(wr, bytes([i % 256 for i in range(250)]))
+    os.close(wr)
+    b1 = src.next_block()
+    b2 = src.next_block()
+    b3 = src.next_block(timeout_ms=5000)  # partial 50-byte tail -> EOF
+    src.close()
+    os.close(rd)
+    np.testing.assert_array_equal(
+        b1, np.array([i % 256 for i in range(100)], np.uint8))
+    np.testing.assert_array_equal(
+        b2, np.array([i % 256 for i in range(100, 200)], np.uint8))
+    assert b3 is None
+
+
+def test_sink_writes_through():
+    rd, wr = os.pipe()
+    snk = native.NativeSink(wr, 1 << 16)
+    payload = np.arange(1000, dtype=np.int16)
+    snk.push(payload)
+    snk.flush()
+    got = os.read(rd, 4000)
+    snk.close()
+    os.close(wr)
+    os.close(rd)
+    np.testing.assert_array_equal(np.frombuffer(got, np.int16), payload)
