@@ -30,20 +30,29 @@ def main() -> None:
     cfg = get_mode(0)
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    channels = int(os.environ.get("BENCH_CHANNELS", 64 if on_tpu else 2))
+    channels = int(os.environ.get("BENCH_CHANNELS", 256 if on_tpu else 2))
     n_blocks = int(os.environ.get("BENCH_BLOCKS", 32 if on_tpu else 2))
     repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
+    precision = {"default": lax.Precision.DEFAULT,
+                 "high": lax.Precision.HIGH,
+                 "highest": lax.Precision.HIGHEST}[
+        os.environ.get("BENCH_PRECISION", "highest")]
 
     params = receiver.make_params(cfg)
     state = receiver.init_state(cfg, batch=(channels,))
-    rng = np.random.default_rng(0)
-    iq = jnp.asarray(rng.integers(
-        0, 256, (n_blocks, channels, cfg.block_size), dtype=np.uint8))
+    # generate the IQ stream on device: a host->device push of the full
+    # tensor (GBs at large channel counts) would dominate setup time
+    iq = jax.jit(
+        lambda key: jax.random.randint(
+            key, (n_blocks, channels, cfg.block_size), 0, 256, jnp.uint8),
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(iq)
 
     @jax.jit
     def run(state, blocks):
         def body(st, blk):
-            st, out = receiver.receiver_step(params, st, blk, cfg)
+            st, out = receiver.receiver_step(params, st, blk, cfg,
+                                             precision=precision)
             return st, (out.mono, out.left, out.right, out.rds_symbols)
         return lax.scan(body, state, blocks)
 
