@@ -33,10 +33,13 @@ def main() -> None:
     channels = int(os.environ.get("BENCH_CHANNELS", 256 if on_tpu else 2))
     n_blocks = int(os.environ.get("BENCH_BLOCKS", 32 if on_tpu else 2))
     repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
+    # DEFAULT (bf16-input matmul) is the production-serving configuration:
+    # benchmarks/precision_check.py measures bit-identical RDS symbols and
+    # equal stereo separation vs HIGHEST on the synthesized broadcast.
     precision = {"default": lax.Precision.DEFAULT,
                  "high": lax.Precision.HIGH,
                  "highest": lax.Precision.HIGHEST}[
-        os.environ.get("BENCH_PRECISION", "highest")]
+        os.environ.get("BENCH_PRECISION", "default")]
 
     params = receiver.make_params(cfg)
     state = receiver.init_state(cfg, batch=(channels,))

@@ -214,7 +214,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     if applayer is not None:
         info = applayer.info
         print(f"RDS: PI={info.pi_hex} PTY={info.pty_name!r} "
-              f"PS={info.ps_name!r} ({info.groups_seen} groups)",
+              f"PS={info.ps_name!r} ({info.groups_seen} groups)"
+              + (f" RT={info.radiotext!r}" if info.radiotext else ""),
               file=sys.stderr)
     return 0
 

@@ -38,6 +38,9 @@ class StationInfo:
     version: Optional[str] = None
     tp: Optional[int] = None
     ps_segments: list = dataclasses.field(default_factory=lambda: [""] * 4)
+    rt_segments: list = dataclasses.field(
+        default_factory=lambda: [""] * 16)   # group 2A radiotext
+    rt_flag: Optional[int] = None            # A/B text flag (clears on flip)
     groups_seen: int = 0
 
     @property
@@ -55,6 +58,15 @@ class StationInfo:
         if all(self.ps_segments):
             return "".join(self.ps_segments)
         return None
+
+    @property
+    def radiotext(self) -> Optional[str]:
+        """Accumulated 2A radiotext, trimmed at the 0x0D terminator
+        (beyond the reference, which stops at PI/PTY/PS)."""
+        if not any(self.rt_segments):
+            return None
+        text = "".join(s if s else "    " for s in self.rt_segments)
+        return text.split("\r")[0].rstrip()
 
 
 class ApplicationLayer:
@@ -80,6 +92,20 @@ class ApplicationLayer:
                 seg = b & 0x3
                 c1, c2 = chr((d >> 8) & 0xFF), chr(d & 0xFF)
                 info.ps_segments[seg] = c1 + c2
+            if info.group_type == 2 and info.version == "A":
+                flag = (b >> 4) & 1
+                if info.rt_flag is not None and flag != info.rt_flag:
+                    info.rt_segments = [""] * 16   # text change: clear
+                info.rt_flag = flag
+                seg = b & 0xF
+                chars = ""
+                c = group.blocks.get("C")
+                if c is not None:
+                    chars += chr((c >> 8) & 0xFF) + chr(c & 0xFF)
+                if d is not None:
+                    chars += chr((d >> 8) & 0xFF) + chr(d & 0xFF)
+                if len(chars) == 4:
+                    info.rt_segments[seg] = chars
         if self.verbose:
             print(f"RDS group: PI={info.pi_hex} PTY={info.pty_name!r} "
                   f"type={info.group_type}{info.version} PS so far: "

@@ -145,6 +145,44 @@ def make_ps_bitstream(pi: int, pty: int, ps_name: str,
     return bits
 
 
+def make_group_2a(pi: int, pty: int, segment: int, chars: str,
+                  tp: int = 0, ab_flag: int = 0) -> list[int]:
+    """One type-2A group (radiotext): 4 characters per group, ``segment``
+    in 0..15 addressing radiotext chars 4*segment..4*segment+3."""
+    assert 0 <= segment < 16 and len(chars) == 4
+    block_a = pi
+    block_b = ((2 << 12)            # group type 2
+               | (0 << 11)          # version A
+               | (tp << 10)
+               | ((pty & 0x1F) << 5)
+               | ((ab_flag & 1) << 4)
+               | (segment & 0xF))
+    block_c = (ord(chars[0]) << 8) | ord(chars[1])
+    block_d = (ord(chars[2]) << 8) | ord(chars[3])
+    bits: list[int] = []
+    for msg, t in ((block_a, "A"), (block_b, "B"), (block_c, "C"),
+                   (block_d, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
+def make_rt_bitstream(pi: int, pty: int, text: str,
+                      repeats: int = 1, ab_flag: int = 0) -> list[int]:
+    """Groups carrying radiotext (<=64 chars, 0x0D-terminated when
+    shorter), repeated."""
+    rt = text[:64]
+    if len(rt) < 64:
+        rt = (rt + "\r").ljust(64)
+    n_seg = -(-max(len(text) + 1, 4) // 4)
+    bits: list[int] = []
+    for _ in range(repeats):
+        for seg in range(min(16, n_seg)):
+            bits.extend(make_group_2a(pi, pty, seg,
+                                      rt[4 * seg:4 * seg + 4],
+                                      ab_flag=ab_flag))
+    return bits
+
+
 def differential_encode(bits) -> list[int]:
     """d_k = b_k xor d_{k-1} (inverse of the receiver's xor decode,
     fmMonoBlock.py:108-118)."""

@@ -126,3 +126,35 @@ def test_full_decoder_with_cdr_resync():
             app.process(g)
     assert app.info.pi == pi
     assert app.info.ps_name == ps
+
+
+def test_radiotext_2a_roundtrip():
+    """2A group radiotext: encode -> frame sync -> application layer
+    (beyond-parity: the reference application layer stops at PS names)."""
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    text = "DY4TPU RADIOTEXT DEMO"
+    bits = np.array(coding.make_rt_bitstream(0xABCD, 4, text, repeats=3),
+                    np.int8)
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(bits):
+        app.process(g)
+    assert app.info.pi == 0xABCD
+    assert app.info.radiotext == text
+
+
+def test_radiotext_ab_flag_clears():
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    bits = (coding.make_rt_bitstream(0x1000, 0, "FIRST TEXT", repeats=2,
+                                     ab_flag=0)
+            + coding.make_rt_bitstream(0x1000, 0, "NEW", repeats=2,
+                                       ab_flag=1))
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(np.array(bits, np.int8)):
+        app.process(g)
+    assert app.info.radiotext == "NEW"
