@@ -18,6 +18,10 @@ import os
 import time
 
 import numpy as np
+
+from dy4tpu.utils import jaxenv
+jaxenv.setup()
+
 import jax
 import jax.numpy as jnp
 from jax import lax

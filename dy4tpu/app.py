@@ -78,13 +78,10 @@ def main(argv: Optional[list[str]] = None) -> int:
               file=sys.stderr)
         return 2
 
-    import os
+    from dy4tpu.utils import jaxenv
+    jaxenv.setup()
 
     import jax
-    if os.environ.get("DY4TPU_PLATFORM"):
-        # env-var platform forcing (JAX_PLATFORMS alone is overridden when
-        # a TPU plugin pre-registers itself)
-        jax.config.update("jax_platforms", os.environ["DY4TPU_PLATFORM"])
     import jax.numpy as jnp
     from dy4tpu.pipeline import receiver
     from dy4tpu.rds.app import ApplicationLayer
