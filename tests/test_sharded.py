@@ -114,3 +114,29 @@ def test_sharded_rds_symbols(mode0_stream):
         agree += int((a == b).sum())
         total += len(a)
     assert agree / total > 0.95, agree / total
+
+
+def test_sharded_mode1_no_rds():
+    """Non-RDS mode through the sharded receiver: the Optional RDS legs
+    are None end-to-end and the mono path stays exact."""
+    cfg = get_mode(1)
+    n_blocks = 8
+    n_audio = n_blocks * cfg.audio_per_block
+    iq = fm.synthesize(cfg, n_blocks,
+                       left=fm.tone(700.0, cfg.audio_fs, n_audio, amp=0.7),
+                       right=fm.tone(1700.0, cfg.audio_fs, n_audio, amp=0.7))
+
+    mesh = make_mesh(ch=2, time=4)
+    rx = ShardedReceiver(cfg, mesh, shard_blocks=2, overlap_blocks=1)
+    params = receiver.make_params(cfg)
+    carry = rx.init(2)
+    iq2 = np.broadcast_to(iq, (2, len(iq))).copy()
+    carry, out = rx.step(params, carry,
+                         jax.device_put(jnp.asarray(iq2),
+                                        rx.input_sharding()))
+    assert out.rds_symbols is None and out.rds_resync is None
+    assert out.pcm.shape == (2, 2 * n_blocks * cfg.audio_per_block)
+
+    seq = _sequential(cfg, iq, n_blocks)
+    np.testing.assert_allclose(np.asarray(out.mono)[0],
+                               np.asarray(seq.mono).ravel(), atol=2e-5)
