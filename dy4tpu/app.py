@@ -181,6 +181,10 @@ def main(argv: Optional[list[str]] = None) -> int:
             pending = (pcm, out)
             if (args.checkpoint_every and args.checkpoint
                     and (i + 1) % args.checkpoint_every == 0):
+                # drain first so device state and host decoder state refer
+                # to the same block boundary in the snapshot
+                drain(pending)
+                pending = None
                 save_checkpoint(block0 + i + 1)
         if pending is not None:
             drain(pending)
