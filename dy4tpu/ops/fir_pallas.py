@@ -33,24 +33,54 @@ _BM = 128   # output-tile length (lanes)
 _BB = 8     # batch-tile (sublanes)
 
 
-def _kernel(x_ref, h_ref, o_ref, xv, sem, *, down: int, q_taps: int,
-            k: int):
+def _kernel(x_ref, h_ref, o_ref, xv, sems, *, down: int, q_taps: int,
+            k: int, n_tiles: int):
+    """One batch-tile per grid cell; walks the time axis with
+    double-buffered HBM->VMEM DMA (guide pattern), so copy-in of tile
+    j+1 overlaps the K multiply-adds of tile j.  The loop is unrolled in
+    slot *pairs* to keep the scratch-buffer index static."""
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    # window start/length aligned to the (8, 128) HBM tiling: phases lead,
-    # batch tile is 8-aligned, lane window is a full 2*_BM slab
-    dma = pltpu.make_async_copy(
-        x_ref.at[:, pl.ds(i * _BB, _BB), pl.ds(j * _BM, 2 * _BM)],
-        xv, sem)
-    dma.start()
-    dma.wait()
-    acc = jnp.zeros((_BB, _BM), jnp.float32)
-    for r in range(down):
-        for q in range(q_taps):
-            tap = q * down + r
-            if tap < k:
-                acc += h_ref[k - 1 - tap] * xv[r, :, q:q + _BM]
-    o_ref[:] = acc
+
+    def get_dma(slot, j):
+        # window start/length aligned to the (8, 128) HBM tiling: phases
+        # lead, batch tile is 8-aligned, lane window is a full 2*_BM slab
+        return pltpu.make_async_copy(
+            x_ref.at[:, pl.ds(i * _BB, _BB), pl.ds(j * _BM, 2 * _BM)],
+            xv.at[slot], sems.at[slot])
+
+    def compute(slot, j):
+        acc = jnp.zeros((_BB, _BM), jnp.float32)
+        for r in range(down):
+            for q in range(q_taps):
+                tap = q * down + r
+                if tap < k:
+                    acc += h_ref[k - 1 - tap] * xv[slot, r, :, q:q + _BM]
+        o_ref[:, pl.ds(j * _BM, _BM)] = acc
+
+    get_dma(0, 0).start()
+
+    def pair(jj, _):
+        j0 = 2 * jj
+
+        @pl.when(j0 + 1 < n_tiles)
+        def _():
+            get_dma(1, j0 + 1).start()
+
+        get_dma(0, j0).wait()
+        compute(0, j0)
+
+        @pl.when(j0 + 1 < n_tiles)
+        def _():
+            @pl.when(j0 + 2 < n_tiles)
+            def _():
+                get_dma(0, j0 + 2).start()
+
+            get_dma(1, j0 + 1).wait()
+            compute(1, j0 + 1)
+
+        return 0
+
+    jax.lax.fori_loop(0, -(-n_tiles // 2), pair, 0)
 
 
 def block_fir_decim_pallas(x: Array, h: Array, state: Array, down: int, *,
@@ -83,19 +113,21 @@ def block_fir_decim_pallas(x: Array, h: Array, state: Array, down: int, *,
     # polyphase split, phase-major: x_ph[r, b, u] = x_ext[b, u*down + r]
     x_ph = jnp.moveaxis(x_full.reshape(b_pad, lp, down), -1, 0)
 
-    kern = functools.partial(_kernel, down=down, q_taps=q_taps, k=k)
+    n_tiles = m_pad // _BM
+    kern = functools.partial(_kernel, down=down, q_taps=q_taps, k=k,
+                             n_tiles=n_tiles)
     y = pl.pallas_call(
         kern,
-        grid=(b_pad // _BB, m_pad // _BM),
+        grid=(b_pad // _BB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((_BB, _BM), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((_BB, m_pad), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((down, _BB, 2 * _BM), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, down, _BB, 2 * _BM), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_ph, h.astype(jnp.float32))
