@@ -34,7 +34,7 @@ def main() -> None:
     cfg = get_mode(0)
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    channels = int(os.environ.get("BENCH_CHANNELS", 256 if on_tpu else 2))
+    channels = int(os.environ.get("BENCH_CHANNELS", 512 if on_tpu else 2))
     n_blocks = int(os.environ.get("BENCH_BLOCKS", 32 if on_tpu else 2))
     repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
     # DEFAULT (bf16-input matmul) is the production-serving configuration:
