@@ -205,7 +205,18 @@ def block_fir_decim(x: Array, h: Array, state: Array, decim: int, *,
                     precision=lax.Precision.HIGHEST,
                     impl: str = "auto") -> tuple[Array, Array]:
     """Decimating stateful FIR computing only kept outputs,
-    src/filter.cpp:123-140."""
+    src/filter.cpp:123-140.
+
+    ``impl="pallas"`` selects the double-buffered Pallas kernel
+    (true-K MACs on the VPU, no Toeplitz FLOP inflation).  Measured: it
+    beats the matmul path ~18% at small batch (B=128 rows) but loses 2x
+    at the serving batch (1024 rows), where bf16 MXU throughput wins —
+    so ``auto`` never picks it; it remains the small-batch/latency
+    option.
+    """
+    if impl == "pallas":
+        from dy4tpu.ops import fir_pallas
+        return fir_pallas.block_fir_decim_pallas(x, h, state, decim)
     return block_fir_resample(x, h, state, up=1, down=decim,
                               precision=precision, impl=impl)
 
