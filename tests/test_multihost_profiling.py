@@ -1,0 +1,47 @@
+"""Single-host coverage for multihost plumbing + profiling helpers."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dy4tpu.parallel import multihost
+from dy4tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+from dy4tpu.utils.profiling import StageTimer, Throughput
+
+
+def test_initialize_single_host():
+    topo = multihost.initialize()
+    assert topo.num_processes == 1 and topo.is_coordinator
+    assert len(topo.local_devices) == len(jax.local_devices())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_pod_mesh_layout():
+    mesh = multihost.pod_mesh(time_per_host=4)
+    assert mesh.shape == {CH_AXIS: 2, TIME_AXIS: 4}
+    with pytest.raises(ValueError):
+        multihost.pod_mesh(time_per_host=3)
+
+
+def test_local_channel_slice():
+    # single process: every channel is local
+    assert multihost.local_channel_slice(12) == slice(0, 12)
+
+
+def test_stage_timer_reports():
+    t = StageTimer()
+    x = t.time_fn("mul", lambda: jax.numpy.ones(8) * 2)
+    np.testing.assert_array_equal(np.asarray(x), 2.0)
+    with t.stage("block", result=x):
+        pass
+    rep = t.report()
+    assert "mul" in rep and "block" in rep
+
+
+def test_throughput_meter():
+    m = Throughput(rf_fs=2.4e6)
+    m.update(0)
+    rate = m.update(240000)
+    assert rate > 0
+    assert m.x_realtime == rate / 2.4e6
