@@ -17,8 +17,6 @@ import json
 import os
 import time
 
-import numpy as np
-
 from dy4tpu.utils import jaxenv
 jaxenv.setup()
 
