@@ -20,6 +20,7 @@ CASES = [
     (7680, 101, 1, 5),        # mode-0 audio
     (7680, 1919, 19, 120),    # mode-0 RDS resampler
     (1600, 101 * 147, 147, 800),   # mode-2 audio resampler
+    (1280, 101 * 147, 147, 1280),  # mode-3 audio resampler
     (24, 19, 19, 24),         # tiny block, tile == m
     (40, 16, 3, 4),           # non-divisible tap/up ratio
     (256, 7, 1, 2),           # short filter
