@@ -157,7 +157,8 @@ def main(argv: Optional[list[str]] = None) -> int:
             wav_chunks.append(pcm.astype(np.float32) / 16384.0)
         if decoder is not None:
             decoder.push_block(np.asarray(out.rds_symbols)[0],
-                               resync=bool(np.asarray(out.rds_resync)[0]))
+                               resync=bool(np.asarray(out.rds_resync)[0]),
+                               offset=int(np.asarray(out.rds_offset)[0]))
         n_done += 1
         if args.stats and n_done % 100 == 0:
             now = time.perf_counter()

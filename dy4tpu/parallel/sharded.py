@@ -51,6 +51,7 @@ class ShardedOutputs(NamedTuple):
     pcm: Array           # [C, out_len] int16 (interleaved if stereo)
     rds_symbols: Array | None   # [C, T*S*symbols_per_block] int8
     rds_resync: Array | None    # [C, T*S] bool, per block
+    rds_offset: Array | None    # [C, T*S] int32 CDR phase, per block
 
 
 class ShardedCarry(NamedTuple):
@@ -140,6 +141,7 @@ class ShardedReceiver:
             right=P(CH_AXIS, TIME_AXIS), pcm=P(CH_AXIS, TIME_AXIS),
             rds_symbols=P(CH_AXIS, TIME_AXIS) if rds_on else None,
             rds_resync=P(CH_AXIS, TIME_AXIS) if rds_on else None,
+            rds_offset=P(CH_AXIS, TIME_AXIS) if rds_on else None,
         )
 
         def local(params, state, prev_tail, iq):
@@ -184,13 +186,14 @@ class ShardedReceiver:
             syms = keep(outs.rds_symbols)
             if rds_on:
                 resync = jnp.moveaxis(outs.rds_resync[o_blocks:], 0, -1)
+                offset = jnp.moveaxis(outs.rds_offset[o_blocks:], 0, -1)
             else:
-                resync = None
+                resync = offset = None
             new_state = jax.tree.map(lambda a: a[None], new_state)
             return (new_state,
                     ShardedOutputs(mono=mono, left=leftch, right=rightch,
                                    pcm=pcm, rds_symbols=syms,
-                                   rds_resync=resync))
+                                   rds_resync=resync, rds_offset=offset))
 
         mapped = shard_map(
             local, mesh=self.mesh,

@@ -91,6 +91,11 @@ class StepOutputs(NamedTuple):
     rds_symbols: Optional[Array]  # [..., symbols_per_block] int8 hard bits
     rds_sym_i: Optional[Array]    # sampled I at symbol instants (soft)
     rds_resync: Optional[Array]   # [...] bool — CDR re-acquired this block
+    rds_offset: Optional[Array]   # [...] int32 — CDR sampling phase used;
+    #                               consumers should reset their bit/frame
+    #                               state only when this CHANGES (a resync
+    #                               that re-finds the same phase keeps the
+    #                               symbol stream continuous)
 
 
 def _rds_on(cfg: ModeConfig, with_rds) -> bool:
@@ -250,7 +255,7 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
 
     # ---- RDS path (fmMonoBlock.py:671-699) ----
     new_rds = None
-    rds_out = (None,) * 5
+    rds_out = (None,) * 6
     if _rds_on(cfg, with_rds) and state.rds is not None:
         rds = state.rds
         rds_band = bands[..., 2, :]
@@ -281,12 +286,12 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
                            lpf_tail_i=lpf_tail_i, lpf_tail_q=lpf_tail_q,
                            rrc_tail_i=rrc_tail_i, rrc_tail_q=rrc_tail_q,
                            pll=rds_pll, cdr=cdr)
-        rds_out = (bb_i, bb_q, symbols, sym_i, resync)
+        rds_out = (bb_i, bb_q, symbols, sym_i, resync, cdr.offset)
 
     outputs = StepOutputs(mono=mono, left=left, right=right,
                           rds_bb_i=rds_out[0], rds_bb_q=rds_out[1],
                           rds_symbols=rds_out[2], rds_sym_i=rds_out[3],
-                          rds_resync=rds_out[4])
+                          rds_resync=rds_out[4], rds_offset=rds_out[5])
     return ReceiverState(rf=new_rf, audio=new_audio, rds=new_rds), outputs
 
 

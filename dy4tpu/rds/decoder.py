@@ -200,13 +200,26 @@ class RDSDecoder:
         self.framer = FrameSynchronizer()
         self.on_group = on_group
         self.groups: list[Group] = []
+        self._last_offset: Optional[int] = None
 
-    def push_block(self, symbols: np.ndarray, resync: bool = False
-                   ) -> list[Group]:
-        """Consume one device block's symbols; returns groups completed."""
-        if resync:
-            # CDR re-acquired timing: symbol phase may have shifted, so the
-            # pairing vote and frame sync restart (fmSupportLib.py:235-244)
+    def push_block(self, symbols: np.ndarray, resync: bool = False,
+                   offset: Optional[int] = None) -> list[Group]:
+        """Consume one device block's symbols; returns groups completed.
+
+        ``offset`` (the CDR sampling phase, StepOutputs.rds_offset) makes
+        the reset decision precise: a CDR re-acquisition that lands on the
+        SAME phase keeps the symbol stream continuous, so only an actual
+        phase change restarts the bit/frame layers.  Without ``offset``
+        the raw ``resync`` flag is honoured (reference behaviour,
+        fmSupportLib.py:235-244)."""
+        if offset is not None:
+            offset = int(offset)
+            do_reset = (resync and self._last_offset is not None
+                        and offset != self._last_offset)
+            self._last_offset = offset
+        else:
+            do_reset = resync
+        if do_reset:
             self.manchester.reset()
             self.framer.reset()
         bits = self.manchester.push(symbols)

@@ -34,14 +34,24 @@ class FleetDecoder:
         self.framers = [native.NativeFrameSync(rows, coding.OFFSET_WORDS)
                         for _ in range(channels)]
         self.groups: list[list[Group]] = [[] for _ in range(channels)]
+        self._last_offset = [None] * channels
 
     def push_block(self, symbols: np.ndarray,
-                   resync: Optional[np.ndarray] = None) -> int:
+                   resync: Optional[np.ndarray] = None,
+                   offsets: Optional[np.ndarray] = None) -> int:
         """``symbols``: [channels, n] hard symbols; ``resync``: [channels]
-        bool.  Returns the number of groups completed this block."""
+        bool; ``offsets``: [channels] CDR phases (see RDSDecoder.push_block
+        — with offsets, reset happens only on an actual phase change).
+        Returns the number of groups completed this block."""
         total = 0
         for c in range(self.channels):
-            if resync is not None and resync[c]:
+            do_reset = bool(resync[c]) if resync is not None else False
+            if offsets is not None:
+                off = int(offsets[c])
+                do_reset = (do_reset and self._last_offset[c] is not None
+                            and off != self._last_offset[c])
+                self._last_offset[c] = off
+            if do_reset:
                 self.manchester[c].reset()
                 self.framers[c].reset()
             bits = self.manchester[c].push(symbols[c])

@@ -140,3 +140,47 @@ def test_sharded_mode1_no_rds():
     seq = _sequential(cfg, iq, n_blocks)
     np.testing.assert_allclose(np.asarray(out.mono)[0],
                                np.asarray(seq.mono).ravel(), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_sharded_fleet_decode_integration():
+    """Sharded DSP outputs drain through the native FleetDecoder.
+
+    RDS runs at 1187.5 b/s (~38 bits per mode-0 block after the
+    Manchester layer), so the stream must be long enough for the pairing
+    vote plus a few groups.  The CDR offsets drift a few samples between
+    time shards (each shard re-acquires in its warm-up; a clean signal
+    has a wide eye so the hard symbols stay identical) — consumers of the
+    sharded path reset on the ``resync`` flag, not on offset drift.
+    """
+    from dy4tpu.runtime import native
+    if not native.available():
+        pytest.skip("native runtime not built")
+    from dy4tpu.rds import coding
+    from dy4tpu.rds.fleet import FleetDecoder
+
+    cfg = get_mode(0)
+    n_blocks = 24
+    bits = coding.make_ps_bitstream(0x7E57, 10, "SHARDFLT", repeats=80)
+    n_audio = n_blocks * cfg.audio_per_block
+    iq = fm.synthesize(cfg, n_blocks,
+                       left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.6),
+                       right=fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.6),
+                       rds_bits=bits)
+    mesh = make_mesh(ch=1, time=8)
+    rx = ShardedReceiver(cfg, mesh, shard_blocks=3, overlap_blocks=1)
+    params = receiver.make_params(cfg)
+    carry = rx.init(1)
+    carry, out = rx.step(params, carry,
+                         jax.device_put(jnp.asarray(iq[None]),
+                                        rx.input_sharding()))
+    symbols = np.asarray(out.rds_symbols)       # [1, T*S*spb]
+    resync = np.asarray(out.rds_resync)         # [1, T*S]
+    spb = cfg.rds_symbols_per_block
+
+    fleet = FleetDecoder(1)
+    for b in range(n_blocks):
+        fleet.push_block(symbols[:, b * spb:(b + 1) * spb],
+                         resync[:, b])
+    assert fleet.groups[0], "no groups decoded through sharded + fleet"
+    assert fleet.groups[0][0].pi == 0x7E57
