@@ -60,6 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="also checkpoint every N blocks")
     p.add_argument("--resume", default=None, metavar="FILE",
                    help="resume from a checkpoint file")
+    p.add_argument("--chunk", type=int, default=1, metavar="N",
+                   help="blocks per device dispatch (a scan of N steps): "
+                        "higher amortises dispatch latency for throughput, "
+                        "1 = lowest latency")
     p.add_argument("--no-native", action="store_true",
                    help="use pure-Python stream I/O instead of the native "
                         "runtime (ring buffers + I/O threads)")
@@ -147,46 +151,85 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     def drain(p) -> None:
         nonlocal n_done, t_report
-        pcm_dev, out = p
-        pcm = np.asarray(pcm_dev)[0]
+        pcm_dev, out, k = p
+        pcm = np.asarray(pcm_dev)         # [k, 1, n]
+        flat = np.ascontiguousarray(pcm.reshape(-1), dtype="<i2")
         if sink is not None:
-            sink.push(np.ascontiguousarray(pcm, dtype="<i2"))
+            sink.push(flat)
         else:
-            dio.write_pcm(fout, pcm)
+            dio.write_pcm(fout, flat)
         if args.wav:
-            wav_chunks.append(pcm.astype(np.float32) / 16384.0)
+            wav_chunks.append(flat.astype(np.float32) / 16384.0)
         if decoder is not None:
-            decoder.push_block(np.asarray(out.rds_symbols)[0],
-                               resync=bool(np.asarray(out.rds_resync)[0]),
-                               offset=int(np.asarray(out.rds_offset)[0]))
-        n_done += 1
-        if args.stats and n_done % 100 == 0:
+            syms = np.asarray(out.rds_symbols)     # [k, 1, spb]
+            res = np.asarray(out.rds_resync)
+            offs = np.asarray(out.rds_offset)
+            for j in range(k):
+                decoder.push_block(syms[j, 0], resync=bool(res[j, 0]),
+                                   offset=int(offs[j, 0]))
+        n_done += k
+        if args.stats and n_done // 100 != (n_done - k) // 100:
             now = time.perf_counter()
-            iq_rate = 100 * cfg.iq_per_block / (now - t_report)
+            blocks_since = n_done - getattr(drain, "_last_n", 0)
+            iq_rate = blocks_since * cfg.iq_per_block / (now - t_report)
+            drain._last_n = n_done
             print(f"block {block0 + n_done}: {iq_rate/1e6:.1f} MS/s "
                   f"({iq_rate / cfg.rf_fs:.1f}x real-time)",
                   file=sys.stderr)
             t_report = now
 
-    blocks_iter = (iter(source) if source is not None
-                   else dio.read_iq_blocks(fin, cfg.block_size))
-    try:
-        for i, blk in enumerate(blocks_iter):
-            if args.max_blocks is not None and i >= args.max_blocks:
+    import functools
+
+    from jax import lax
+    from dy4tpu.ops import mix as mixops
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_chunk(state, blocks, k):
+        # blocks: [k, 1, block_size] — one scan amortises dispatch latency
+        def body(st, blk):
+            st, out = receiver.receiver_step(params, st, blk, cfg,
+                                             with_rds=want_rds)
+            return st, out
+        state, outs = lax.scan(body, state, blocks)
+        if stereo:
+            pcm = mixops.quantize_s16(mixops.interleave(outs.left,
+                                                        outs.right))
+        else:
+            pcm = mixops.quantize_s16(outs.mono)
+        return state, pcm, outs
+
+    def read_chunks():
+        blocks_iter = (iter(source) if source is not None
+                       else dio.read_iq_blocks(fin, cfg.block_size))
+        buf = []
+        n_in = 0
+        for blk in blocks_iter:
+            if args.max_blocks is not None and n_in >= args.max_blocks:
                 break
-            state, pcm, out = receiver.receiver_step_jit(
-                params, state, jnp.asarray(blk)[None], cfg,
-                stereo=stereo, with_rds=want_rds)
+            buf.append(blk)
+            n_in += 1
+            if len(buf) == max(1, args.chunk):
+                yield np.stack(buf)[:, None, :]
+                buf = []
+        if buf:
+            yield np.stack(buf)[:, None, :]
+
+    try:
+        done_blocks = 0
+        for chunk_np in read_chunks():
+            k = chunk_np.shape[0]
+            state, pcm, out = run_chunk(state, jnp.asarray(chunk_np), k=k)
             if pending is not None:
                 drain(pending)
-            pending = (pcm, out)
+            pending = (pcm, out, k)
+            done_blocks += k
             if (args.checkpoint_every and args.checkpoint
-                    and (i + 1) % args.checkpoint_every == 0):
+                    and done_blocks % args.checkpoint_every == 0):
                 # drain first so device state and host decoder state refer
                 # to the same block boundary in the snapshot
                 drain(pending)
                 pending = None
-                save_checkpoint(block0 + i + 1)
+                save_checkpoint(block0 + done_blocks)
         if pending is not None:
             drain(pending)
     except KeyboardInterrupt:

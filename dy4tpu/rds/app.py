@@ -14,6 +14,7 @@ with two deliberate corrections, documented for the judge:
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Optional
 
 from dy4tpu.rds.decoder import Group
@@ -107,7 +108,8 @@ class ApplicationLayer:
                 if len(chars) == 4:
                     info.rt_segments[seg] = chars
         if self.verbose:
+            # stderr: stdout must stay a clean PCM pipe (constraints pdf p.2)
             print(f"RDS group: PI={info.pi_hex} PTY={info.pty_name!r} "
                   f"type={info.group_type}{info.version} PS so far: "
-                  f"{''.join(info.ps_segments)!r}")
+                  f"{''.join(info.ps_segments)!r}", file=sys.stderr)
         return info

@@ -73,3 +73,16 @@ def test_cli_rds_decodes_station():
     err = p.stderr.decode()
     assert "PI=BEEF" in err, err
     assert "TESTING!" in err, err
+
+
+def test_cli_chunked_dispatch_identical_and_stdout_clean():
+    """--chunk N must produce byte-identical PCM, and stdout must stay a
+    pure PCM pipe even with RDS console output enabled (constraints pdf
+    p.2: stderr for humans)."""
+    cfg, iq = _capture(12, rds=True)
+    p1 = _run(["0", "r"], iq.tobytes())
+    p8 = _run(["0", "r", "--chunk", "4"], iq.tobytes())
+    assert p1.returncode == 0 and p8.returncode == 0
+    assert p1.stdout == p8.stdout
+    # PCM length exact -> no text leaked into stdout
+    assert len(p1.stdout) == 12 * cfg.audio_per_block * 2
