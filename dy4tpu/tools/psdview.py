@@ -38,6 +38,9 @@ def main(argv=None) -> int:
         print("matplotlib not available", file=sys.stderr)
         return 1
 
+    from dy4tpu.utils import jaxenv
+    jaxenv.setup()
+
     import jax.numpy as jnp
     from dy4tpu.config import get_mode
     from dy4tpu.ops import fft

@@ -23,6 +23,8 @@ RATES_KSPS = [2400, 2880, 2304, 1920, 1440, 1152, 960]
 def resample_iq(iq_u8: np.ndarray, fs_in: float, fs_out: float,
                 taps_per_phase: int = 101) -> np.ndarray:
     """u8 interleaved IQ at fs_in -> u8 interleaved IQ at fs_out."""
+    from dy4tpu.utils import jaxenv
+    jaxenv.setup()
     import jax.numpy as jnp
     from dy4tpu.ops import fir, firdes
     from dy4tpu.utils import io as dio

@@ -1,0 +1,58 @@
+"""Subprocess smoke tests for the developer tools."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dy4tpu.config import get_mode
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "DY4TPU_PLATFORM": "cpu"}
+
+
+def _run(mod, args, timeout=600):
+    return subprocess.run([sys.executable, "-m", mod, *args],
+                          capture_output=True, cwd=REPO, env=ENV,
+                          timeout=timeout)
+
+
+@pytest.mark.slow
+def test_synth_then_fleet_roundtrip(tmp_path):
+    cap = str(tmp_path / "st.raw")
+    p = _run("dy4tpu.tools.synth",
+             [cap, "--mode", "0", "--blocks", "20", "--pi", "0x0A0B",
+              "--ps", "TOOLTEST"])
+    assert p.returncode == 0, p.stderr.decode()
+    cfg = get_mode(0)
+    assert os.path.getsize(cap) == 20 * cfg.block_size
+
+    p = _run("dy4tpu.tools.fleet", ["--mode", "0", cap, cap])
+    assert p.returncode == 0, p.stderr.decode()
+    err = p.stderr.decode()
+    assert err.count("PI=0A0B") == 2, err
+    assert "2 stations" in err
+
+
+def test_ratechange_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    src = str(tmp_path / "in.raw")
+    dst = str(tmp_path / "out.raw")
+    rng.integers(0, 256, 2 * 240000, dtype=np.uint8).tofile(src)
+    p = _run("dy4tpu.tools.ratechange", [src, dst, "--to", "1440"])
+    assert p.returncode == 0, p.stderr.decode()
+    assert os.path.getsize(dst) == 2 * 144000
+
+
+def test_psdview_headless(tmp_path):
+    pytest.importorskip("matplotlib")
+    cap = str(tmp_path / "c.raw")
+    png = str(tmp_path / "psd.png")
+    np.random.default_rng(0).integers(
+        0, 256, 2 * get_mode(0).block_size, dtype=np.uint8).tofile(cap)
+    p = _run("dy4tpu.tools.psdview",
+             [cap, "--mode", "0", "--blocks", "2", "--out", png])
+    assert p.returncode == 0, p.stderr.decode()
+    assert os.path.getsize(png) > 10000
