@@ -105,6 +105,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         if want_rds and "manchester" in host:
             decoder.manchester = host["manchester"]
             decoder.framer = host["framer"]
+            decoder._last_offset = host.get("last_offset")
         print(f"resumed from {args.resume} at block {block0}",
               file=sys.stderr)
 
@@ -114,7 +115,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         host = {}
         if decoder is not None:
             host = {"manchester": decoder.manchester,
-                    "framer": decoder.framer}
+                    "framer": decoder.framer,
+                    "last_offset": decoder._last_offset}
         ckpt.save(args.checkpoint, state, host_state=host,
                   meta={"block": block, "mode": args.mode, "path": path})
 
