@@ -64,14 +64,17 @@ def init_state(batch: tuple[int, ...] = (), dtype=jnp.float32) -> PLLState:
                     angle=z, nco=o, nco_q=o)
 
 
-def pll(pll_in: Array, state: PLLState, *, freq: float, fs: float,
-        nco_scale: float = 1.0, phase_adjust: float = 0.0,
-        norm_bandwidth: float = 0.01,
+def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
+        nco_scale=1.0, phase_adjust: float = 0.0,
+        norm_bandwidth=0.01,
         unroll: int = 32) -> tuple[Array, Array, PLLState]:
     """Run the PLL over a block (algebraic fast path).
 
     ``pll_in``: [..., N]; state fields: [...].  Returns
     ``(nco_i, nco_q, new_state)`` with outputs shaped like the input.
+    ``freq``/``nco_scale``/``norm_bandwidth`` may be scalars or per-lane
+    arrays broadcastable to the batch dims (several loop configurations
+    in one scan).
 
     The reference phase detector is
         errorD = atan2(-x*sin(phi), x*cos(phi)),  phi = angle + phaseEst,
@@ -85,9 +88,14 @@ def pll(pll_in: Array, state: PLLState, *, freq: float, fs: float,
     a [channels] vector per sample.
     """
     dtype = pll_in.dtype
-    kp = dtype.type(norm_bandwidth * _CP)
-    ki = dtype.type(norm_bandwidth * norm_bandwidth * _CI)
-    dtheta = dtype.type(2.0 * jnp.pi * (freq / fs))
+    # constants may be scalars or per-lane arrays broadcastable against the
+    # batch dims (used to run several PLL configurations in ONE scan, e.g.
+    # the stereo pilot and the RDS carrier stacked on a lane axis)
+    bw = jnp.asarray(norm_bandwidth, dtype)
+    kp = bw * dtype.type(_CP)
+    ki = bw * bw * dtype.type(_CI)
+    dtheta = dtype.type(2.0 * jnp.pi) * jnp.asarray(freq, dtype) / dtype.type(fs)
+    scale = jnp.asarray(nco_scale, dtype)
     pi = dtype.type(jnp.pi)
     two_pi = dtype.type(2.0 * jnp.pi)
     wrap = dtype.type(_WRAP)
@@ -114,7 +122,7 @@ def pll(pll_in: Array, state: PLLState, *, freq: float, fs: float,
     (integ, pe, ang), phis = lax.scan(step, carry0, (target, is_zero),
                                       unroll=unroll)
     phis = jnp.moveaxis(phis, 0, -1)                   # [..., N]
-    out_arg = phis * dtype.type(nco_scale) + dtype.type(phase_adjust)
+    out_arg = phis * scale[..., None] + dtype.type(phase_adjust)
     nco_i = jnp.cos(out_arg)
     nco_q = jnp.sin(out_arg)
     # first output comes from the carried NCO (handles the reference's
@@ -123,7 +131,7 @@ def pll(pll_in: Array, state: PLLState, *, freq: float, fs: float,
     nco_q = jnp.concatenate([state.nco_q[..., None], nco_q[..., 1:]], -1)
 
     phi_end = ang + pe
-    end_arg = phi_end * dtype.type(nco_scale) + dtype.type(phase_adjust)
+    end_arg = phi_end * scale + dtype.type(phase_adjust)
     new_state = PLLState(
         feedback_i=jnp.cos(phi_end), feedback_q=jnp.sin(phi_end),
         integrator=integ, phase_est=pe, angle=ang,

@@ -239,10 +239,39 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
     pilot = bands[..., 0, :]
     stereo_band = bands[..., 1, :]
 
-    # ---- stereo path (project.cpp:118-133) ----
-    nco, _, pll_state = pll.pll(
-        pilot, state.audio.pll, freq=cfg.pll_freq, fs=cfg.if_fs,
-        nco_scale=cfg.pll_nco_scale, norm_bandwidth=cfg.pll_bandwidth)
+    # ---- stereo + RDS PLLs (project.cpp:118-133; fmMonoBlock.py:683) ----
+    rds_enabled = _rds_on(cfg, with_rds) and state.rds is not None
+    if rds_enabled:
+        # stack the pilot (19 kHz, x2, bw .01) and RDS carrier (114 kHz,
+        # x0.5, bw .001) loops on a lane axis: ONE scan instead of two
+        rds = state.rds
+        rds_band = bands[..., 2, :]
+        squared = mix.squaring_nonlinearity(rds_band)
+        carrier, carrier_tail = fir.block_fir(
+            squared, params.rds_carrier_coeff, rds.carrier_tail,
+            precision=precision)
+        both_in = jnp.stack([pilot, carrier], axis=-2)   # [..., 2, N]
+        both_state = jax.tree.map(lambda a, b: jnp.stack([a, b], -1),
+                                  state.audio.pll, rds.pll)
+        nco_i2, nco_q2, both_pll = pll.pll(
+            both_in, both_state,
+            freq=np.array([cfg.pll_freq, cfg.rds_pll_freq], np.float32),
+            fs=cfg.if_fs,
+            nco_scale=np.array([cfg.pll_nco_scale, cfg.rds_pll_nco_scale],
+                               np.float32),
+            norm_bandwidth=np.array([cfg.pll_bandwidth,
+                                     cfg.rds_pll_bandwidth], np.float32))
+        nco = nco_i2[..., 0, :]
+        nco_i = nco_i2[..., 1, :]
+        nco_q = nco_q2[..., 1, :]
+        pll_state = jax.tree.map(lambda a: a[..., 0], both_pll)
+        rds_pll = jax.tree.map(lambda a: a[..., 1], both_pll)
+    else:
+        nco, _, pll_state = pll.pll(
+            pilot, state.audio.pll, freq=cfg.pll_freq, fs=cfg.if_fs,
+            nco_scale=cfg.pll_nco_scale, norm_bandwidth=cfg.pll_bandwidth)
+
+    # ---- stereo path ----
     stereo_mixed = mix.mix(nco, stereo_band, gain=2.0)
     stereo_lp, stereo_tail = fir.block_fir_resample(
         stereo_mixed, params.audio_coeff, state.audio.stereo_tail,
@@ -256,18 +285,8 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
     # ---- RDS path (fmMonoBlock.py:671-699) ----
     new_rds = None
     rds_out = (None,) * 6
-    if _rds_on(cfg, with_rds) and state.rds is not None:
-        rds = state.rds
-        rds_band = bands[..., 2, :]
-        squared = mix.squaring_nonlinearity(rds_band)
-        carrier, carrier_tail = fir.block_fir(
-            squared, params.rds_carrier_coeff, rds.carrier_tail,
-            precision=precision)
+    if rds_enabled:
         rds_delayed, rds_delay = mix.delay_block(rds_band, rds.delay)
-        nco_i, nco_q, rds_pll = pll.pll(
-            carrier, rds.pll, freq=cfg.rds_pll_freq, fs=cfg.if_fs,
-            nco_scale=cfg.rds_pll_nco_scale,
-            norm_bandwidth=cfg.rds_pll_bandwidth)
         mixed_i = mix.mix(nco_i, rds_delayed, gain=1.0)
         mixed_q = mix.mix(nco_q, rds_delayed, gain=1.0)
         lp_i, lpf_tail_i = fir.block_fir_resample(
