@@ -86,3 +86,8 @@ def test_cli_chunked_dispatch_identical_and_stdout_clean():
     assert p1.stdout == p8.stdout
     # PCM length exact -> no text leaked into stdout
     assert len(p1.stdout) == 12 * cfg.audio_per_block * 2
+    # stereo path too (interleaved L/R through the chunked scan)
+    s1 = _run(["0", "s"], iq.tobytes())
+    s8 = _run(["0", "s", "--chunk", "5"], iq.tobytes())
+    assert s1.stdout == s8.stdout
+    assert len(s1.stdout) == 12 * cfg.audio_per_block * 2 * 2
