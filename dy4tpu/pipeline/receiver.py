@@ -287,18 +287,20 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
     rds_out = (None,) * 6
     if rds_enabled:
         rds_delayed, rds_delay = mix.delay_block(rds_band, rds.delay)
-        mixed_i = mix.mix(nco_i, rds_delayed, gain=1.0)
-        mixed_q = mix.mix(nco_q, rds_delayed, gain=1.0)
-        lp_i, lpf_tail_i = fir.block_fir_resample(
-            mixed_i, params.rds_lpf_coeff, rds.lpf_tail_i,
+        # I and Q legs ride a stacked lane through one resampler and one
+        # RRC call (the FIR ops are batched over leading dims)
+        mixed = jnp.stack([mix.mix(nco_i, rds_delayed, gain=1.0),
+                           mix.mix(nco_q, rds_delayed, gain=1.0)], axis=-2)
+        lpf_tails = jnp.stack([rds.lpf_tail_i, rds.lpf_tail_q], axis=-2)
+        lp, lpf_tails = fir.block_fir_resample(
+            mixed, params.rds_lpf_coeff, lpf_tails,
             up=cfg.rds_up, down=cfg.rds_down, precision=precision)
-        lp_q, lpf_tail_q = fir.block_fir_resample(
-            mixed_q, params.rds_lpf_coeff, rds.lpf_tail_q,
-            up=cfg.rds_up, down=cfg.rds_down, precision=precision)
-        bb_i, rrc_tail_i = fir.block_fir(lp_i, params.rds_rrc_coeff,
-                                         rds.rrc_tail_i, precision=precision)
-        bb_q, rrc_tail_q = fir.block_fir(lp_q, params.rds_rrc_coeff,
-                                         rds.rrc_tail_q, precision=precision)
+        rrc_tails = jnp.stack([rds.rrc_tail_i, rds.rrc_tail_q], axis=-2)
+        bb, rrc_tails = fir.block_fir(lp, params.rds_rrc_coeff, rrc_tails,
+                                      precision=precision)
+        bb_i, bb_q = bb[..., 0, :], bb[..., 1, :]
+        lpf_tail_i, lpf_tail_q = lpf_tails[..., 0, :], lpf_tails[..., 1, :]
+        rrc_tail_i, rrc_tail_q = rrc_tails[..., 0, :], rrc_tails[..., 1, :]
         sym_i, sym_q, symbols, resync, cdr = _cdr(bb_i, bb_q, rds.cdr,
                                                   cfg.rds_sps)
         new_rds = RDSState(carrier_tail=carrier_tail, delay=rds_delay,
