@@ -228,9 +228,6 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
 
     # ---- mono path (project.cpp:109-116) ----
     fm_delayed, mono_delay = mix.delay_block(fm, state.audio.mono_delay)
-    mono, mono_tail = fir.block_fir_resample(
-        fm_delayed, params.audio_coeff, state.audio.mono_tail,
-        up=cfg.audio_up, down=cfg.audio_down, precision=precision)
 
     # ---- band filter bank over fm_demod (one fused conv) ----
     bands, bank_tail = fir.block_fir_bank(fm, params.bank_coeff,
@@ -271,11 +268,16 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
             pilot, state.audio.pll, freq=cfg.pll_freq, fs=cfg.if_fs,
             nco_scale=cfg.pll_nco_scale, norm_bandwidth=cfg.pll_bandwidth)
 
-    # ---- stereo path ----
+    # ---- mono + stereo audio resamplers, one stacked call ----
     stereo_mixed = mix.mix(nco, stereo_band, gain=2.0)
-    stereo_lp, stereo_tail = fir.block_fir_resample(
-        stereo_mixed, params.audio_coeff, state.audio.stereo_tail,
+    audio_in = jnp.stack([fm_delayed, stereo_mixed], axis=-2)
+    audio_tails = jnp.stack([state.audio.mono_tail,
+                             state.audio.stereo_tail], axis=-2)
+    audio_out, audio_tails = fir.block_fir_resample(
+        audio_in, params.audio_coeff, audio_tails,
         up=cfg.audio_up, down=cfg.audio_down, precision=precision)
+    mono, stereo_lp = audio_out[..., 0, :], audio_out[..., 1, :]
+    mono_tail, stereo_tail = audio_tails[..., 0, :], audio_tails[..., 1, :]
     left, right = mix.stereo_matrix(mono, stereo_lp)
 
     new_audio = AudioState(mono_delay=mono_delay, mono_tail=mono_tail,
