@@ -91,3 +91,23 @@ def test_cli_chunked_dispatch_identical_and_stdout_clean():
     s8 = _run(["0", "s", "--chunk", "5"], iq.tobytes())
     assert s1.stdout == s8.stdout
     assert len(s1.stdout) == 12 * cfg.audio_per_block * 2 * 2
+
+
+@pytest.mark.parametrize("mode", [1, 3])
+def test_cli_other_modes_stereo(mode):
+    """The non-RDS modes decode through the CLI at their own rates."""
+    cfg = get_mode(mode)
+    n_blocks = 5
+    n_audio = n_blocks * cfg.audio_per_block
+    left = fm.tone(500.0, cfg.audio_fs, n_audio, amp=0.7)
+    right = fm.tone(1300.0, cfg.audio_fs, n_audio, amp=0.7)
+    iq = fm.synthesize(cfg, n_blocks, left=left, right=right)
+    p = _run([str(mode), "s"], iq.tobytes())
+    assert p.returncode == 0, p.stderr.decode()
+    pcm = np.frombuffer(p.stdout, "<i2")
+    assert len(pcm) == n_blocks * cfg.audio_per_block * 2
+    l = pcm[0::2][2 * cfg.audio_per_block:] / 16384.0
+    t = np.arange(len(l)) / cfg.audio_fs
+    want = np.abs(l @ np.exp(-2j * np.pi * 500.0 * t))
+    leak = np.abs(l @ np.exp(-2j * np.pi * 1300.0 * t))
+    assert want > 3 * leak, (mode, want, leak)
