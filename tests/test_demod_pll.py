@@ -123,3 +123,22 @@ def test_pll_fast_matches_reference_impl():
                                    atol=5e-3)
         np.testing.assert_allclose(np.asarray(a_q), np.asarray(b_q),
                                    atol=5e-3)
+
+
+def test_fm_demod_arctan_streaming_continuity():
+    """prev_phase carry: two blocks == one double-length block."""
+    fs = 240e3
+    t = np.arange(4000) / fs
+    phase = 2 * np.pi * 12e3 * t + 0.5 * np.sin(2 * np.pi * 170 * t)
+    i = np.cos(phase).astype(np.float32)
+    q = np.sin(phase).astype(np.float32)
+
+    full, _ = demod.fm_demod_arctan(jnp.asarray(i), jnp.asarray(q),
+                                    jnp.zeros(()))
+    h1, carry = demod.fm_demod_arctan(jnp.asarray(i[:2000]),
+                                      jnp.asarray(q[:2000]), jnp.zeros(()))
+    h2, _ = demod.fm_demod_arctan(jnp.asarray(i[2000:]),
+                                  jnp.asarray(q[2000:]), carry)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(h1), np.asarray(h2)]), np.asarray(full),
+        atol=1e-6)
