@@ -59,7 +59,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
                    help="also checkpoint every N blocks")
     p.add_argument("--resume", default=None, metavar="FILE",
-                   help="resume from a checkpoint file")
+                   help="resume from a checkpoint file (trusted input "
+                        "only: checkpoints embed pickled host state)")
     p.add_argument("--chunk", type=int, default=1, metavar="N",
                    help="blocks per device dispatch (a scan of N steps): "
                         "higher amortises dispatch latency for throughput, "
@@ -151,15 +152,22 @@ def main(argv: Optional[list[str]] = None) -> int:
     t0 = time.perf_counter()
     t_report = t0
 
-    def drain(p) -> None:
+    def drain(p, ignore_sink_errors: bool = False) -> None:
         nonlocal n_done, t_report
         pcm_dev, out, k = p
         pcm = np.asarray(pcm_dev)         # [k, 1, n]
         flat = np.ascontiguousarray(pcm.reshape(-1), dtype="<i2")
-        if sink is not None:
-            sink.push(flat)
-        else:
-            dio.write_pcm(fout, flat)
+        try:
+            if sink is not None:
+                sink.push(flat)
+            else:
+                dio.write_pcm(fout, flat)
+        except (BrokenPipeError, TimeoutError, OSError):
+            # In the shutdown path we still advance the host decoder and
+            # block counter so the checkpoint stays consistent even when
+            # the PCM consumer is already gone.
+            if not ignore_sink_errors:
+                raise
         if args.wav:
             wav_chunks.append(flat.astype(np.float32) / 16384.0)
         if decoder is not None:
@@ -234,14 +242,34 @@ def main(argv: Optional[list[str]] = None) -> int:
                 save_checkpoint(block0 + done_blocks)
         if pending is not None:
             drain(pending)
+            pending = None
     except KeyboardInterrupt:
         print("interrupted", file=sys.stderr)
+    except BrokenPipeError:
+        # downstream (e.g. `| aplay` or `| head`) went away: stop cleanly,
+        # mirroring the reference's EOF exit (project.cpp:293-296)
+        print("downstream closed; stopping", file=sys.stderr)
     finally:
+        # Drain any in-flight chunk BEFORE checkpointing so the saved
+        # device state, host decoder state, and meta block counter all
+        # refer to the same block boundary (the --checkpoint-every path
+        # already does this; the interrupt path must too).
+        if pending is not None:
+            try:
+                drain(pending, ignore_sink_errors=True)
+            except Exception as e:
+                print(f"warning: could not drain final chunk ({e}); "
+                      f"checkpoint reflects the last drained block",
+                      file=sys.stderr)
+            pending = None
         save_checkpoint(block0 + n_done)
         if source is not None:
             source.close()
         if sink is not None:
-            sink.flush()
+            try:
+                sink.flush()
+            except (BrokenPipeError, TimeoutError):
+                pass
             sink.close()
         if fin:
             fin.close()

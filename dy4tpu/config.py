@@ -41,7 +41,6 @@ class ModeConfig:
     audio_fs: float          # final audio sample rate, S/s
     audio_up: int            # audio polyphase upsample factor U
     audio_down: int          # audio polyphase downsample factor D
-    blocks_1k: int           # multiplier c1 in block_size = c1*D*rf_decim*2
 
     # fixed across modes (reference values)
     rf_fc: float = 100e3     # RF LPF cutoff (project.cpp:147)
@@ -174,13 +173,13 @@ class ModeConfig:
 # deviation IF=384k (rf_decim 5) documented in the final report p.1.
 MODES: dict[int, ModeConfig] = {
     0: ModeConfig(mode=0, rf_fs=2.4e6, rf_decim=10, audio_fs=48e3,
-                  audio_up=1, audio_down=5, blocks_1k=1024, rds_sps=16),
+                  audio_up=1, audio_down=5, rds_sps=16),
     1: ModeConfig(mode=1, rf_fs=1.44e6, rf_decim=5, audio_fs=36e3,
-                  audio_up=1, audio_down=8, blocks_1k=1024),
+                  audio_up=1, audio_down=8),
     2: ModeConfig(mode=2, rf_fs=2.4e6, rf_decim=10, audio_fs=44.1e3,
-                  audio_up=147, audio_down=800, blocks_1k=10, rds_sps=27),
+                  audio_up=147, audio_down=800, rds_sps=27),
     3: ModeConfig(mode=3, rf_fs=1.92e6, rf_decim=5, audio_fs=44.1e3,
-                  audio_up=147, audio_down=1280, blocks_1k=10),
+                  audio_up=147, audio_down=1280),
 }
 
 

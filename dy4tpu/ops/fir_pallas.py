@@ -120,7 +120,7 @@ def block_fir_decim_pallas(x: Array, h: Array, state: Array, down: int, *,
         kern,
         grid=(b_pad // _BB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((_BB, m_pad), lambda i: (i, 0)),

@@ -16,6 +16,7 @@ N-host benchmark protocol in BASELINE.md.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -37,16 +38,46 @@ class HostTopology:
         return self.process_id == 0
 
 
+def _launch_env_present() -> bool:
+    """True when the launcher/TPU metadata can supply the distributed
+    arguments (Cloud TPU pod slice, SLURM/OpenMPI, or an explicit
+    coordinator in the environment)."""
+    env = os.environ
+    return any(k in env for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
+        "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE"))
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> HostTopology:
-    """Bring up jax.distributed (no-op on a single host) and report the
-    topology.  Arguments default to the TPU metadata / env-provided
-    values, mirroring ``jax.distributed.initialize`` semantics."""
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+    """Bring up jax.distributed (no-op on a plain single host) and report
+    the topology.
+
+    Arguments left ``None`` default to the TPU metadata / env-provided
+    values, mirroring ``jax.distributed.initialize`` semantics: on a real
+    pod slice calling ``initialize()`` with no arguments must still bring
+    up DCN (the launcher supplies coordinator/process info), so we call it
+    whenever either the caller passes multi-process arguments or the
+    launch environment advertises them — not only on explicit
+    ``num_processes > 1``.
+    """
+    explicit_single = num_processes is not None and num_processes <= 1
+    want = not explicit_single and (
+        (num_processes is not None and num_processes > 1)
+        or coordinator_address is not None
+        or _launch_env_present())
+    if want:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id)
+        except RuntimeError:
+            # already initialized (idempotent re-entry)
+            pass
     return HostTopology(process_id=jax.process_index(),
                         num_processes=jax.process_count(),
                         local_devices=jax.local_devices())

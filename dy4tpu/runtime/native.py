@@ -29,12 +29,16 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and build:
+    if build:
+        # Always invoke make: the Makefile is dependency-aware (no-op when
+        # the .so is fresh), so edits to dy4_runtime.cpp are never silently
+        # shadowed by a stale binary.  Falls through to loading an existing
+        # .so if the toolchain is unavailable.
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
                            capture_output=True)
         except (OSError, subprocess.CalledProcessError):
-            return None
+            pass
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)

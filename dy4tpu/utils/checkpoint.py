@@ -6,6 +6,13 @@ pytree (``ReceiverState``) plus the small host-side decoder objects, so a
 checkpoint is a single compressed npz: every array leaf keyed by its tree
 path, host decoder state pickled alongside.  Saving mid-stream and resuming
 reproduces the exact continuation (verified in tests/test_checkpoint.py).
+
+.. warning::
+   Checkpoints are **trusted input only**.  The treedef and host-decoder
+   payloads are pickled (host state holds live decoder objects), so
+   ``load()`` on a file from an untrusted source is arbitrary code
+   execution — the same trust model as a pickle/torch checkpoint.  Never
+   pass user-supplied files to ``--resume``.
 """
 
 from __future__ import annotations
@@ -41,7 +48,11 @@ def save(path: str, state: Any, *, host_state: Optional[dict] = None,
 
 
 def load(path: str) -> tuple[Any, dict, dict]:
-    """Returns ``(state, host_state, meta)``."""
+    """Returns ``(state, host_state, meta)``.
+
+    Unpickles the treedef/host/meta payloads: only load files this
+    process (or a trusted peer) wrote — see the module warning.
+    """
     with np.load(path, allow_pickle=False) as z:
         treedef = pickle.loads(z["treedef"].tobytes())
         host = pickle.loads(z["host"].tobytes())

@@ -21,9 +21,25 @@
 #include <thread>
 #include <vector>
 
+#include <cerrno>
+#include <poll.h>
 #include <unistd.h>
 
 namespace {
+
+// Wait (bounded) until fd is ready for `events` (POLLIN/POLLOUT).
+// Returns 1 ready, 0 timeout, -1 error/hangup-with-error.
+int poll_fd(int fd, short events, int timeout_ms) {
+  struct pollfd pfd;
+  pfd.fd = fd;
+  pfd.events = events;
+  pfd.revents = 0;
+  int r = ::poll(&pfd, 1, timeout_ms);
+  if (r == 0) return 0;
+  if (r < 0) return errno == EINTR ? 0 : -1;
+  if (pfd.revents & (POLLERR | POLLNVAL)) return -1;
+  return 1;
+}
 
 // ---------------------------------------------------------------------------
 // SPSC byte ring buffer.  Capacity rounded up to a power of two; indices are
@@ -146,8 +162,18 @@ struct Source {
       size_t space = ring.wait_writable(tmp.size(), 100);
       if (ring.closed() || stop.load()) break;
       if (space == 0) continue;
+      // Poll before the blocking read so an idle pipe (no data, no EOF)
+      // can never pin this thread: ~Source sets `stop` and we notice at
+      // the next 100 ms tick instead of hanging the process on join().
+      int pr = poll_fd(fd, POLLIN, 100);
+      if (pr == 0) continue;
+      if (pr < 0) {
+        ring.set_eof();
+        break;
+      }
       size_t want = space < tmp.size() ? space : tmp.size();
       ssize_t got = ::read(fd, tmp.data(), want);
+      if (got < 0 && errno == EINTR) continue;
       if (got <= 0) {  // EOF or error: reference exits on short read
         ring.set_eof();
         break;
@@ -189,25 +215,55 @@ struct Sink {
 
   ~Sink() {
     ring.set_eof();           // no more producer data
+    // Grace window for the writer to drain, then force-stop: a stuck
+    // downstream (pipe peer never reads) must not hang process exit.
+    auto deadline = std::chrono::steady_clock::now() +
+                    std::chrono::milliseconds(1000);
+    while (!done.load() && std::chrono::steady_clock::now() < deadline)
+      std::this_thread::sleep_for(std::chrono::milliseconds(2));
+    stop.store(true);
+    ring.close();
     if (th.joinable()) th.join();
+  }
+
+  // Downstream write failed (e.g. `| aplay` exited): record it AND close
+  // the ring so producers blocked in wait_writable wake up immediately —
+  // otherwise a full ring + timeout_ms=-1 push() would block forever.
+  void fail() {
+    error.store(true);
+    ring.close();
   }
 
   void run() {
     std::vector<uint8_t> tmp(1 << 16);
+    size_t have = 0, off = 0;
     for (;;) {
-      size_t avail = ring.wait_readable(1, 100);
-      if (avail == 0) {
-        if (ring.eof()) break;
+      if (off == have) {
+        inflight.store(0, std::memory_order_release);
+        if (stop.load()) break;
+        size_t avail = ring.wait_readable(1, 100);
+        if (avail == 0) {
+          if (ring.eof() || ring.closed()) break;
+          continue;
+        }
+        have = ring.pop(tmp.data(), tmp.size());
+        off = 0;
+        inflight.store(have, std::memory_order_release);
         continue;
       }
-      size_t got = ring.pop(tmp.data(), tmp.size());
-      size_t off = 0;
-      while (off < got) {
-        ssize_t w = ::write(fd, tmp.data() + off, got - off);
-        if (w <= 0) { error.store(true); return; }
-        off += static_cast<size_t>(w);
-      }
+      // Poll before write so a full pipe cannot pin this thread past the
+      // destructor's stop flag (same rationale as Source::run).
+      int pr = poll_fd(fd, POLLOUT, 100);
+      if (stop.load()) break;
+      if (pr == 0) continue;
+      if (pr < 0) { fail(); break; }
+      ssize_t w = ::write(fd, tmp.data() + off, have - off);
+      if (w < 0 && errno == EINTR) continue;
+      if (w <= 0) { fail(); break; }
+      off += static_cast<size_t>(w);
+      inflight.store(have - off, std::memory_order_release);
     }
+    done.store(true);
   }
 
   // 1 = accepted, -1 = timeout/overflow, -2 = downstream write error.
@@ -216,9 +272,9 @@ struct Sink {
     size_t off = 0;
     while (off < n) {
       ring.wait_writable(1, timeout_ms);
+      if (error.load()) return -2;
       size_t pushed = ring.push(data + off, n - off);
       if (pushed == 0 && timeout_ms >= 0) return -1;
-      if (error.load()) return -2;
       off += pushed;
     }
     return 1;
@@ -228,7 +284,9 @@ struct Sink {
     auto deadline = std::chrono::steady_clock::now() +
                     std::chrono::milliseconds(timeout_ms < 0 ? 3600000
                                                              : timeout_ms);
-    while (ring.readable() > 0 && !error.load()) {
+    // Drained = ring empty AND no bytes popped-but-unwritten in the
+    // writer's scratch buffer.
+    while ((ring.readable() > 0 || inflight.load() > 0) && !error.load()) {
       if (std::chrono::steady_clock::now() > deadline) return -1;
       std::this_thread::sleep_for(std::chrono::milliseconds(1));
     }
@@ -238,6 +296,9 @@ struct Sink {
   int fd;
   RingBuffer ring;
   std::atomic<bool> error{false};
+  std::atomic<bool> stop{false};
+  std::atomic<bool> done{false};
+  std::atomic<size_t> inflight{0};
   std::thread th;
 };
 

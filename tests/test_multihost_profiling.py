@@ -10,10 +10,39 @@ from dy4tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 from dy4tpu.utils.profiling import StageTimer, Throughput
 
 
-def test_initialize_single_host():
+def test_initialize_single_host(monkeypatch):
+    for k in ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+              "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
     topo = multihost.initialize()
     assert topo.num_processes == 1 and topo.is_coordinator
     assert len(topo.local_devices) == len(jax.local_devices())
+
+
+def test_initialize_defaults_to_launcher_env(monkeypatch):
+    """With no explicit arguments but a launcher-provided environment,
+    jax.distributed.initialize() must still be called (the real-pod
+    default-metadata contract); an explicit num_processes=1 must not."""
+    calls = []
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        calls.append((coordinator_address, num_processes, process_id))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    multihost.initialize()
+    assert calls == [(None, None, None)]
+
+    calls.clear()
+    multihost.initialize(num_processes=1)  # explicit single: no-op
+    assert calls == []
+
+    calls.clear()
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    multihost.initialize(coordinator_address="10.0.0.2:8476",
+                         num_processes=4, process_id=2)
+    assert calls == [("10.0.0.2:8476", 4, 2)]
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

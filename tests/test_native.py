@@ -7,6 +7,7 @@ and the stdin block-reader contract — short trailing reads are dropped
 
 import os
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -62,6 +63,40 @@ def test_source_blocks_and_eof():
     np.testing.assert_array_equal(
         b2, np.array([i % 256 for i in range(100, 200)], np.uint8))
     assert b3 is None
+
+
+def test_sink_broken_pipe_wakes_blocked_push():
+    """Downstream death must surface as BrokenPipeError, not a hang.
+
+    Regression: with the reader end closed and the ring full, a push with
+    timeout_ms=-1 used to block forever in wait_writable because the
+    writer thread recorded the error without closing/notifying the ring.
+    """
+    rd, wr = os.pipe()
+    snk = native.NativeSink(wr, capacity_bytes=4096)
+    os.close(rd)  # downstream (e.g. aplay) is gone
+    payload = np.zeros(1 << 16, np.uint8)  # >> pipe buffer + ring capacity
+    t0 = time.monotonic()
+    with pytest.raises(BrokenPipeError):
+        for _ in range(64):
+            snk.push(payload, timeout_ms=-1)
+    assert time.monotonic() - t0 < 10.0  # promptly, not via an outer timeout
+    snk.close()
+    os.close(wr)
+
+
+def test_source_close_with_idle_pipe_does_not_hang():
+    """~Source must join even while the reader is parked on an idle pipe
+    that never delivers data or EOF (the ADVICE poll-loop fix)."""
+    rd, wr = os.pipe()  # keep wr open: no data, no EOF
+    src = native.NativeSource(rd, block_bytes=64, capacity_blocks=4)
+    with pytest.raises(TimeoutError):
+        src.next_block(timeout_ms=50)
+    t0 = time.monotonic()
+    src.close()
+    assert time.monotonic() - t0 < 2.0
+    os.close(wr)
+    os.close(rd)
 
 
 def test_sink_writes_through():
