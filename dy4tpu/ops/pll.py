@@ -64,6 +64,100 @@ def init_state(batch: tuple[int, ...] = (), dtype=jnp.float32) -> PLLState:
                     angle=z, nco=o, nco_q=o)
 
 
+def _loop_consts(freq, fs, norm_bandwidth, dtype):
+    """(kp, ki, dtheta) — shared by every scan flavour so the float ops
+    (and therefore the trajectories) are bit-identical between them."""
+    bw = jnp.asarray(norm_bandwidth, dtype)
+    kp = bw * dtype.type(_CP)
+    ki = bw * bw * dtype.type(_CI)
+    dtheta = (dtype.type(2.0 * jnp.pi) * jnp.asarray(freq, dtype)
+              / dtype.type(fs))
+    return kp, ki, dtheta
+
+
+def _make_step(kp, ki, dtheta, dtype):
+    """The algebraic per-sample recurrence (see ``pll`` docstring).
+
+    Shared between the per-block ``pll`` entry point and the global
+    coded-sign scan used by the exact time-sharded receiver: sharing the
+    closure guarantees the same op sequence, hence bit-identical carries.
+    """
+    pi = dtype.type(jnp.pi)
+    two_pi = dtype.type(2.0 * jnp.pi)
+    wrap = dtype.type(_WRAP)
+
+    def step(carry, inp):
+        integrator, phase_est, angle = carry
+        tk, zk = inp
+        phi = angle + phase_est
+        # wrap(tk - phi) to [-pi, pi) == atan2 phase detector (see pll())
+        v = tk - phi + pi
+        error_d = v - two_pi * jnp.floor(v / two_pi) - pi
+        error_d = jnp.where(zk, 0.0, error_d)
+        integrator = integrator + ki * error_d
+        phase_est = jnp.mod(phase_est + kp * error_d + integrator, wrap)
+        angle = jnp.mod(angle + dtheta, wrap)
+        # Emit the *previous* phase: output k is the NCO computed at k-1.
+        return (integrator, phase_est, angle), phi
+
+    return step
+
+
+# sign codes for the gather-friendly PLL input representation: the input
+# enters the recurrence only through its sign + zero-guard, so an int8
+# code stream is a lossless (and 4x smaller) stand-in for the f32 signal.
+CODE_POS = 0
+CODE_NEG = 1
+CODE_ZERO = 2
+CODE_INVALID = 3   # pre-stream padding: freezes the carry entirely
+
+
+def encode_sign(x: Array) -> Array:
+    """f32 PLL input -> int8 sign codes (POS/NEG/ZERO)."""
+    return jnp.where(x == 0.0, jnp.int8(CODE_ZERO),
+                     jnp.where(x < 0.0, jnp.int8(CODE_NEG),
+                               jnp.int8(CODE_POS)))
+
+
+def phase_scan_coded(codes: Array, carry: tuple[Array, Array, Array], *,
+                     freq, fs: float, norm_bandwidth,
+                     split_at: int, unroll: int = 32):
+    """Run the PLL phase recurrence over an int8 sign-code stream.
+
+    ``codes``: [..., M]; ``carry``: (integrator, phase_est, angle), each
+    [...].  ``CODE_INVALID`` samples leave the carry untouched (used to
+    pad the warm-up region before the true stream start).  Returns
+    ``(phis [..., M], carry_at_split, carry_end)`` where ``carry_at_split``
+    is the carry after ``split_at`` samples — the state the next chunk's
+    scan must resume from in the exact time-sharded receiver.
+
+    For valid samples the ops are bit-identical to ``pll`` (shared step
+    closure; the freeze is a ``where(valid, new, old)`` which is exact
+    pass-through when valid).
+    """
+    dtype = carry[0].dtype
+    kp, ki, dtheta = _loop_consts(freq, fs, norm_bandwidth, dtype)
+    base = _make_step(kp, ki, dtheta, dtype)
+
+    def step(c, code):
+        tk = jnp.where(code == CODE_NEG, dtype.type(jnp.pi),
+                       dtype.type(0.0))
+        zk = code == CODE_ZERO
+        valid = code != CODE_INVALID
+        (i2, p2, a2), phi = base(c, (tk, zk))
+        i0, p0, a0 = c
+        return (jnp.where(valid, i2, i0), jnp.where(valid, p2, p0),
+                jnp.where(valid, a2, a0)), phi
+
+    codes_t = jnp.moveaxis(codes, -1, 0)             # [M, ...]
+    carry_mid, phis1 = lax.scan(step, carry, codes_t[:split_at],
+                                unroll=unroll)
+    carry_end, phis2 = lax.scan(step, carry_mid, codes_t[split_at:],
+                                unroll=unroll)
+    phis = jnp.moveaxis(jnp.concatenate([phis1, phis2], axis=0), 0, -1)
+    return phis, carry_mid, carry_end
+
+
 def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
         nco_scale=1.0, phase_adjust: float = 0.0,
         norm_bandwidth=0.01,
@@ -91,33 +185,15 @@ def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
     # constants may be scalars or per-lane arrays broadcastable against the
     # batch dims (used to run several PLL configurations in ONE scan, e.g.
     # the stereo pilot and the RDS carrier stacked on a lane axis)
-    bw = jnp.asarray(norm_bandwidth, dtype)
-    kp = bw * dtype.type(_CP)
-    ki = bw * bw * dtype.type(_CI)
-    dtheta = dtype.type(2.0 * jnp.pi) * jnp.asarray(freq, dtype) / dtype.type(fs)
+    kp, ki, dtheta = _loop_consts(freq, fs, norm_bandwidth, dtype)
     scale = jnp.asarray(nco_scale, dtype)
     pi = dtype.type(jnp.pi)
-    two_pi = dtype.type(2.0 * jnp.pi)
-    wrap = dtype.type(_WRAP)
 
     x = jnp.moveaxis(pll_in, -1, 0)  # [N, ...] scan over time
     target = jnp.where(x < 0, pi, dtype.type(0.0))
     is_zero = x == 0.0  # model zero-input guard (fmMonoBlock.py:359-362)
 
-    def step(carry, inp):
-        integrator, phase_est, angle = carry
-        tk, zk = inp
-        phi = angle + phase_est
-        # wrap(tk - phi) to [-pi, pi) == atan2 phase detector (see above)
-        v = tk - phi + pi
-        error_d = v - two_pi * jnp.floor(v / two_pi) - pi
-        error_d = jnp.where(zk, 0.0, error_d)
-        integrator = integrator + ki * error_d
-        phase_est = jnp.mod(phase_est + kp * error_d + integrator, wrap)
-        angle = jnp.mod(angle + dtheta, wrap)
-        # Emit the *previous* phase: output k is the NCO computed at k-1.
-        return (integrator, phase_est, angle), phi
-
+    step = _make_step(kp, ki, dtheta, dtype)
     carry0 = (state.integrator, state.phase_est, state.angle)
     (integ, pe, ang), phis = lax.scan(step, carry0, (target, is_zero),
                                       unroll=unroll)

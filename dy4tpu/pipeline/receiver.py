@@ -98,9 +98,167 @@ class StepOutputs(NamedTuple):
     #                               symbol stream continuous)
 
 
+class FrontState(NamedTuple):
+    """Carried state of the LTI front half (everything before the PLLs).
+
+    Every field is an *input window* of its stage's stream (overlap-save
+    tails / delay lines), so it is reproduced exactly by replaying enough
+    of the raw input — the property the exact time-sharded receiver's
+    halo warm-up relies on (dy4tpu/parallel/sharded.py).
+    """
+    rf: RFState
+    mono_delay: Array
+    bank_tail: Array
+    carrier_tail: Optional[Array]
+    rds_delay: Optional[Array]
+
+
+class FrontOut(NamedTuple):
+    """Per-block LTI signals feeding the PLLs and the back half."""
+    fm_delayed: Array          # [..., if_per_block]
+    pilot: Array               # [..., if_per_block] — stereo PLL input
+    stereo_band: Array
+    carrier: Optional[Array]   # RDS carrier BPF output — RDS PLL input
+    rds_delayed: Optional[Array]
+
+
+class BackState(NamedTuple):
+    """Carried state of the post-PLL half — again all input windows, but
+    of NCO-mixed streams, so exact reproduction additionally needs the
+    exact NCO over the replay window."""
+    mono_tail: Array
+    stereo_tail: Array
+    lpf_tail_i: Optional[Array]
+    lpf_tail_q: Optional[Array]
+    rrc_tail_i: Optional[Array]
+    rrc_tail_q: Optional[Array]
+
+
+class BackOut(NamedTuple):
+    mono: Array
+    left: Array
+    right: Array
+    bb_i: Optional[Array]      # post-RRC baseband (CDR input)
+    bb_q: Optional[Array]
+
+
 def _rds_on(cfg: ModeConfig, with_rds) -> bool:
     return cfg.supports_rds if with_rds is None else (
         bool(with_rds) and cfg.supports_rds)
+
+
+def front_state_of(state: ReceiverState) -> FrontState:
+    rds = state.rds
+    return FrontState(rf=state.rf, mono_delay=state.audio.mono_delay,
+                      bank_tail=state.audio.bank_tail,
+                      carrier_tail=None if rds is None else rds.carrier_tail,
+                      rds_delay=None if rds is None else rds.delay)
+
+
+def back_state_of(state: ReceiverState) -> BackState:
+    rds = state.rds
+    return BackState(
+        mono_tail=state.audio.mono_tail,
+        stereo_tail=state.audio.stereo_tail,
+        lpf_tail_i=None if rds is None else rds.lpf_tail_i,
+        lpf_tail_q=None if rds is None else rds.lpf_tail_q,
+        rrc_tail_i=None if rds is None else rds.rrc_tail_i,
+        rrc_tail_q=None if rds is None else rds.rrc_tail_q)
+
+
+def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
+               cfg: ModeConfig, *, precision=jax.lax.Precision.HIGHEST,
+               rds_enabled: bool = True
+               ) -> tuple[FrontState, FrontOut]:
+    """RF front end + band bank + RDS carrier recovery filters — the LTI
+    half of the receiver (project.cpp:72-93 + fmMonoBlock.py:673-680)."""
+    bs = cfg.block_size
+    assert iq_u8.shape[-1] == bs, (iq_u8.shape, bs)
+    x = (iq_u8.astype(jnp.float32) - 128.0) / 128.0
+    iq = x.reshape((*x.shape[:-1], bs // 2, 2))
+    iq = jnp.moveaxis(iq, -1, -2)  # [..., 2, N] : I row 0, Q row 1
+
+    # ---- RF front end (project.cpp:72-93) ----
+    iq_ds, iq_tail = fir.block_fir_decim(iq, params.rf_coeff,
+                                         fstate.rf.iq_tail, cfg.rf_decim,
+                                         precision=precision)
+    i_ds, q_ds = iq_ds[..., 0, :], iq_ds[..., 1, :]
+    fm, prev_i, prev_q = demod.fm_demod_diff(i_ds, q_ds, fstate.rf.prev_i,
+                                             fstate.rf.prev_q)
+    new_rf = RFState(iq_tail=iq_tail, prev_i=prev_i, prev_q=prev_q)
+
+    # ---- mono path delay (project.cpp:109-116) ----
+    fm_delayed, mono_delay = mix.delay_block(fm, fstate.mono_delay)
+
+    # ---- band filter bank over fm_demod (one fused conv) ----
+    bands, bank_tail = fir.block_fir_bank(fm, params.bank_coeff,
+                                          fstate.bank_tail,
+                                          precision=precision)
+    pilot = bands[..., 0, :]
+    stereo_band = bands[..., 1, :]
+
+    carrier = rds_delayed = carrier_tail = rds_delay = None
+    if rds_enabled:
+        rds_band = bands[..., 2, :]
+        squared = mix.squaring_nonlinearity(rds_band)
+        carrier, carrier_tail = fir.block_fir(
+            squared, params.rds_carrier_coeff, fstate.carrier_tail,
+            precision=precision)
+        rds_delayed, rds_delay = mix.delay_block(rds_band, fstate.rds_delay)
+
+    return (FrontState(rf=new_rf, mono_delay=mono_delay,
+                       bank_tail=bank_tail, carrier_tail=carrier_tail,
+                       rds_delay=rds_delay),
+            FrontOut(fm_delayed=fm_delayed, pilot=pilot,
+                     stereo_band=stereo_band, carrier=carrier,
+                     rds_delayed=rds_delayed))
+
+
+def back_step(params: ReceiverParams, bstate: BackState, fo: FrontOut,
+              nco: Array, nco_i: Optional[Array], nco_q: Optional[Array],
+              cfg: ModeConfig, *, precision=jax.lax.Precision.HIGHEST,
+              rds_enabled: bool = True) -> tuple[BackState, BackOut]:
+    """Audio resampling + stereo matrix + RDS matched filtering — the
+    post-PLL half (project.cpp:118-133; fmMonoBlock.py:684-696).  ``nco``
+    is the stereo pilot NCO; ``nco_i``/``nco_q`` the RDS quadrature NCO
+    pair (None when RDS is off)."""
+    # ---- mono + stereo audio resamplers, one stacked call ----
+    stereo_mixed = mix.mix(nco, fo.stereo_band, gain=2.0)
+    audio_in = jnp.stack([fo.fm_delayed, stereo_mixed], axis=-2)
+    audio_tails = jnp.stack([bstate.mono_tail, bstate.stereo_tail], axis=-2)
+    audio_out, audio_tails = fir.block_fir_resample(
+        audio_in, params.audio_coeff, audio_tails,
+        up=cfg.audio_up, down=cfg.audio_down, precision=precision)
+    mono, stereo_lp = audio_out[..., 0, :], audio_out[..., 1, :]
+    mono_tail, stereo_tail = audio_tails[..., 0, :], audio_tails[..., 1, :]
+    left, right = mix.stereo_matrix(mono, stereo_lp)
+
+    bb_i = bb_q = None
+    lpf_tail_i = lpf_tail_q = rrc_tail_i = rrc_tail_q = None
+    if rds_enabled:
+        # I and Q legs ride a stacked lane through one resampler and one
+        # RRC call (the FIR ops are batched over leading dims)
+        mixed = jnp.stack([mix.mix(nco_i, fo.rds_delayed, gain=1.0),
+                           mix.mix(nco_q, fo.rds_delayed, gain=1.0)],
+                          axis=-2)
+        lpf_tails = jnp.stack([bstate.lpf_tail_i, bstate.lpf_tail_q],
+                              axis=-2)
+        lp, lpf_tails = fir.block_fir_resample(
+            mixed, params.rds_lpf_coeff, lpf_tails,
+            up=cfg.rds_up, down=cfg.rds_down, precision=precision)
+        rrc_tails = jnp.stack([bstate.rrc_tail_i, bstate.rrc_tail_q],
+                              axis=-2)
+        bb, rrc_tails = fir.block_fir(lp, params.rds_rrc_coeff, rrc_tails,
+                                      precision=precision)
+        bb_i, bb_q = bb[..., 0, :], bb[..., 1, :]
+        lpf_tail_i, lpf_tail_q = lpf_tails[..., 0, :], lpf_tails[..., 1, :]
+        rrc_tail_i, rrc_tail_q = rrc_tails[..., 0, :], rrc_tails[..., 1, :]
+
+    return (BackState(mono_tail=mono_tail, stereo_tail=stereo_tail,
+                      lpf_tail_i=lpf_tail_i, lpf_tail_q=lpf_tail_q,
+                      rrc_tail_i=rrc_tail_i, rrc_tail_q=rrc_tail_q),
+            BackOut(mono=mono, left=left, right=right, bb_i=bb_i,
+                    bb_q=bb_q))
 
 
 def make_params(cfg: ModeConfig, with_rds: Optional[bool] = None
@@ -210,44 +368,23 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
 
     ``iq_u8``: [..., block_size] uint8 (I even, Q odd — iofunc.cpp:113-120).
     Everything is static-shaped; safe under jit/scan/shard_map.
+
+    Composed of three stages that the exact time-sharded receiver also
+    uses separately: ``front_step`` (LTI), the stacked PLL scan, and
+    ``back_step`` (NCO-mixed LTI) + CDR.  Every individual op sees the
+    same inputs as before the split, so outputs are bit-identical.
     """
-    bs = cfg.block_size
-    assert iq_u8.shape[-1] == bs, (iq_u8.shape, bs)
-    x = (iq_u8.astype(jnp.float32) - 128.0) / 128.0
-    iq = x.reshape((*x.shape[:-1], bs // 2, 2))
-    iq = jnp.moveaxis(iq, -1, -2)  # [..., 2, N] : I row 0, Q row 1
+    rds_enabled = _rds_on(cfg, with_rds) and state.rds is not None
 
-    # ---- RF front end (project.cpp:72-93) ----
-    iq_ds, iq_tail = fir.block_fir_decim(iq, params.rf_coeff,
-                                         state.rf.iq_tail, cfg.rf_decim,
-                                         precision=precision)
-    i_ds, q_ds = iq_ds[..., 0, :], iq_ds[..., 1, :]
-    fm, prev_i, prev_q = demod.fm_demod_diff(i_ds, q_ds, state.rf.prev_i,
-                                             state.rf.prev_q)
-    new_rf = RFState(iq_tail=iq_tail, prev_i=prev_i, prev_q=prev_q)
-
-    # ---- mono path (project.cpp:109-116) ----
-    fm_delayed, mono_delay = mix.delay_block(fm, state.audio.mono_delay)
-
-    # ---- band filter bank over fm_demod (one fused conv) ----
-    bands, bank_tail = fir.block_fir_bank(fm, params.bank_coeff,
-                                          state.audio.bank_tail,
-                                          precision=precision)
-    pilot = bands[..., 0, :]
-    stereo_band = bands[..., 1, :]
+    fstate, fo = front_step(params, front_state_of(state), iq_u8, cfg,
+                            precision=precision, rds_enabled=rds_enabled)
 
     # ---- stereo + RDS PLLs (project.cpp:118-133; fmMonoBlock.py:683) ----
-    rds_enabled = _rds_on(cfg, with_rds) and state.rds is not None
     if rds_enabled:
         # stack the pilot (19 kHz, x2, bw .01) and RDS carrier (114 kHz,
         # x0.5, bw .001) loops on a lane axis: ONE scan instead of two
         rds = state.rds
-        rds_band = bands[..., 2, :]
-        squared = mix.squaring_nonlinearity(rds_band)
-        carrier, carrier_tail = fir.block_fir(
-            squared, params.rds_carrier_coeff, rds.carrier_tail,
-            precision=precision)
-        both_in = jnp.stack([pilot, carrier], axis=-2)   # [..., 2, N]
+        both_in = jnp.stack([fo.pilot, fo.carrier], axis=-2)  # [..., 2, N]
         both_state = jax.tree.map(lambda a, b: jnp.stack([a, b], -1),
                                   state.audio.pll, rds.pll)
         nco_i2, nco_q2, both_pll = pll.pll(
@@ -264,58 +401,41 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
         pll_state = jax.tree.map(lambda a: a[..., 0], both_pll)
         rds_pll = jax.tree.map(lambda a: a[..., 1], both_pll)
     else:
+        nco_i = nco_q = None
         nco, _, pll_state = pll.pll(
-            pilot, state.audio.pll, freq=cfg.pll_freq, fs=cfg.if_fs,
+            fo.pilot, state.audio.pll, freq=cfg.pll_freq, fs=cfg.if_fs,
             nco_scale=cfg.pll_nco_scale, norm_bandwidth=cfg.pll_bandwidth)
 
-    # ---- mono + stereo audio resamplers, one stacked call ----
-    stereo_mixed = mix.mix(nco, stereo_band, gain=2.0)
-    audio_in = jnp.stack([fm_delayed, stereo_mixed], axis=-2)
-    audio_tails = jnp.stack([state.audio.mono_tail,
-                             state.audio.stereo_tail], axis=-2)
-    audio_out, audio_tails = fir.block_fir_resample(
-        audio_in, params.audio_coeff, audio_tails,
-        up=cfg.audio_up, down=cfg.audio_down, precision=precision)
-    mono, stereo_lp = audio_out[..., 0, :], audio_out[..., 1, :]
-    mono_tail, stereo_tail = audio_tails[..., 0, :], audio_tails[..., 1, :]
-    left, right = mix.stereo_matrix(mono, stereo_lp)
+    bstate, bo = back_step(params, back_state_of(state), fo, nco, nco_i,
+                           nco_q, cfg, precision=precision,
+                           rds_enabled=rds_enabled)
 
-    new_audio = AudioState(mono_delay=mono_delay, mono_tail=mono_tail,
-                           bank_tail=bank_tail, stereo_tail=stereo_tail,
+    new_audio = AudioState(mono_delay=fstate.mono_delay,
+                           mono_tail=bstate.mono_tail,
+                           bank_tail=fstate.bank_tail,
+                           stereo_tail=bstate.stereo_tail,
                            pll=pll_state)
 
-    # ---- RDS path (fmMonoBlock.py:671-699) ----
+    # ---- RDS clock/data recovery ----
     new_rds = None
     rds_out = (None,) * 6
     if rds_enabled:
-        rds_delayed, rds_delay = mix.delay_block(rds_band, rds.delay)
-        # I and Q legs ride a stacked lane through one resampler and one
-        # RRC call (the FIR ops are batched over leading dims)
-        mixed = jnp.stack([mix.mix(nco_i, rds_delayed, gain=1.0),
-                           mix.mix(nco_q, rds_delayed, gain=1.0)], axis=-2)
-        lpf_tails = jnp.stack([rds.lpf_tail_i, rds.lpf_tail_q], axis=-2)
-        lp, lpf_tails = fir.block_fir_resample(
-            mixed, params.rds_lpf_coeff, lpf_tails,
-            up=cfg.rds_up, down=cfg.rds_down, precision=precision)
-        rrc_tails = jnp.stack([rds.rrc_tail_i, rds.rrc_tail_q], axis=-2)
-        bb, rrc_tails = fir.block_fir(lp, params.rds_rrc_coeff, rrc_tails,
-                                      precision=precision)
-        bb_i, bb_q = bb[..., 0, :], bb[..., 1, :]
-        lpf_tail_i, lpf_tail_q = lpf_tails[..., 0, :], lpf_tails[..., 1, :]
-        rrc_tail_i, rrc_tail_q = rrc_tails[..., 0, :], rrc_tails[..., 1, :]
-        sym_i, sym_q, symbols, resync, cdr = _cdr(bb_i, bb_q, rds.cdr,
-                                                  cfg.rds_sps)
-        new_rds = RDSState(carrier_tail=carrier_tail, delay=rds_delay,
-                           lpf_tail_i=lpf_tail_i, lpf_tail_q=lpf_tail_q,
-                           rrc_tail_i=rrc_tail_i, rrc_tail_q=rrc_tail_q,
+        sym_i, sym_q, symbols, resync, cdr = _cdr(bo.bb_i, bo.bb_q,
+                                                  rds.cdr, cfg.rds_sps)
+        new_rds = RDSState(carrier_tail=fstate.carrier_tail,
+                           delay=fstate.rds_delay,
+                           lpf_tail_i=bstate.lpf_tail_i,
+                           lpf_tail_q=bstate.lpf_tail_q,
+                           rrc_tail_i=bstate.rrc_tail_i,
+                           rrc_tail_q=bstate.rrc_tail_q,
                            pll=rds_pll, cdr=cdr)
-        rds_out = (bb_i, bb_q, symbols, sym_i, resync, cdr.offset)
+        rds_out = (bo.bb_i, bo.bb_q, symbols, sym_i, resync, cdr.offset)
 
-    outputs = StepOutputs(mono=mono, left=left, right=right,
+    outputs = StepOutputs(mono=bo.mono, left=bo.left, right=bo.right,
                           rds_bb_i=rds_out[0], rds_bb_q=rds_out[1],
                           rds_symbols=rds_out[2], rds_sym_i=rds_out[3],
                           rds_resync=rds_out[4], rds_offset=rds_out[5])
-    return ReceiverState(rf=new_rf, audio=new_audio, rds=new_rds), outputs
+    return ReceiverState(rf=fstate.rf, audio=new_audio, rds=new_rds), outputs
 
 
 @functools.partial(jax.jit,
