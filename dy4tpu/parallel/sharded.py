@@ -11,17 +11,33 @@ Replaces the reference's two-thread pipeline + mutex queue
   trailing window of that stage's input stream, so it is reproduced
   exactly by prepending an input *halo* — the last ``overlap_blocks``
   blocks of the left neighbour's raw IQ, fetched with one
-  ``lax.ppermute`` — and discarding the warm-up outputs.  The only
-  non-LTI carries (PLL phase, CDR timing) re-lock inside the warm-up
-  region: PLL lock takes < 1k IF samples (spec p.10 Fig.7) while one
-  mode-0 block spans 7680, so post-warm-up outputs converge to the
-  sequential trajectory.  ``overlap_blocks`` trades redundant FLOPs
-  (O/(S+O)) for lock margin.
+  ``lax.ppermute`` — and discarding the warm-up outputs.
+
+Two time-sharding disciplines are offered:
+
+* ``exact=True`` (default) — **bit-exact** vs the sequential scan.  The
+  receiver is split at its only non-LTI recurrences (``front_step`` /
+  PLL / ``back_step``, dy4tpu/pipeline/receiver.py): the FLOP-heavy LTI
+  halves run time-parallel with halo warm-up, while the PLL phase
+  recurrence — whose input enters only through its *sign* — runs as one
+  replicated global scan over an ``all_gather``-ed int8 sign-code stream
+  (4 bytes -> 1 byte per IF sample), reproducing the sequential carry
+  bit-for-bit; CDR similarly runs replicated over the gathered post-RRC
+  baseband at block rate.  The exactness tax is that PLL wall-clock no
+  longer shrinks with the time axis — but the PLL is ~8 VPU ops per IF
+  sample vs the front end's ~200 MXU MACs per RF sample, so the parallel
+  fraction keeps the speedup (measured by ``bench.py`` sharded mode).
+* ``exact=False`` (legacy) — PLL/CDR re-lock inside the warm-up region
+  (PLL lock < 1k IF samples, spec p.10 Fig.7, vs 7680/block), so
+  post-warm-up outputs *converge* to the sequential trajectory instead
+  of equalling it.  Cheaper (no gather, per-shard PLL), kept for
+  throughput-oriented deployments that tolerate approximate stereo
+  during the first blocks of each span.
 
 Across successive ``step`` calls the stream keeps flowing: the global
-tail of call *k*'s IQ seeds shard 0's halo at call *k+1*, and each
-shard's end-state seeds itself (states are only a warm-start; exactness
-comes from the halo).
+tail of call *k*'s IQ seeds shard 0's halo at call *k+1*; the exact path
+additionally carries the global PLL/CDR states and the last warm-up's
+sign codes.
 """
 
 from __future__ import annotations
@@ -36,6 +52,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dy4tpu.config import ModeConfig
+from dy4tpu.ops import pll
 from dy4tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 from dy4tpu.pipeline import receiver
 
@@ -55,9 +72,28 @@ class ShardedOutputs(NamedTuple):
 
 
 class ShardedCarry(NamedTuple):
-    """Streaming carry across step() calls."""
+    """Streaming carry across step() calls (legacy convergent mode)."""
     state: receiver.ReceiverState   # batched [T_shards, C, ...]
     prev_tail: Array                # [C, H] u8 — global stream tail
+
+
+class ExactCarry(NamedTuple):
+    """Streaming carry for the exact time-sharded mode.
+
+    ``front``/``back`` are per-shard warm-start tails (healed by the halo
+    each step); the PLL/CDR fields are the *global* sequential carries.
+    """
+    front: receiver.FrontState      # leaves [T_shards, C, ...]
+    back: receiver.BackState        # leaves [T_shards, C, ...]
+    pll_integ: Array                # [C, L]  (L = 2 with RDS, else 1)
+    pll_phase: Array                # [C, L]
+    pll_angle: Array                # [C, L]
+    cdr: receiver.CDRState | None   # [C]
+    prev_tail: Array                # [C, H] u8 — global raw-IQ tail
+    prev_codes: Array               # [C, L, O*N_if] i8 sign codes of the
+    #                                 O blocks preceding this chunk
+    started: Array                  # [] bool — False only before the
+    #                                 first step (reference nco_q=1 quirk)
 
 
 class ShardedReceiver:
@@ -70,7 +106,7 @@ class ShardedReceiver:
 
     def __init__(self, cfg: ModeConfig, mesh: Mesh, *,
                  shard_blocks: int = 4, overlap_blocks: int = 1,
-                 stereo: bool = True,
+                 stereo: bool = True, exact: bool = True,
                  precision=lax.Precision.HIGHEST):
         if TIME_AXIS not in mesh.shape or CH_AXIS not in mesh.shape:
             raise ValueError(f"mesh must have axes ({CH_AXIS},{TIME_AXIS})")
@@ -81,30 +117,68 @@ class ShardedReceiver:
         self.shard_blocks = shard_blocks
         self.overlap_blocks = overlap_blocks
         self.stereo = stereo
+        self.exact = exact
         self.precision = precision
         self.halo_len = overlap_blocks * cfg.block_size
         self.chunk_len = self.t_shards * shard_blocks * cfg.block_size
-        self._step = self._build()
+        self.pll_lanes = 2 if cfg.supports_rds else 1
+        if exact and self.t_shards * shard_blocks < overlap_blocks:
+            raise ValueError("exact mode needs T*shard_blocks >= "
+                             "overlap_blocks (prev-codes carry)")
+        self._step = self._build_exact() if exact else self._build()
 
     # ---- public API ----
 
-    def init(self, channels: int) -> ShardedCarry:
+    def init(self, channels: int):
         if channels % self.ch_shards:
             raise ValueError(f"channels {channels} not divisible by "
                              f"ch axis {self.ch_shards}")
         self.channels = channels
-        state = receiver.init_state(self.cfg, batch=(self.t_shards, channels))
-        # distinct host buffers per leaf: equal on-device constants can be
-        # deduped into one buffer, which breaks donation in step()
-        state = jax.tree.map(lambda a: np.array(a), state)
-        state = jax.device_put(state, self._sharding_for_state())
         prev_tail = jax.device_put(
             np.full((channels, self.halo_len), 128, np.uint8),
             NamedSharding(self.mesh, P(CH_AXIS, None)))
-        return ShardedCarry(state=state, prev_tail=prev_tail)
+        if not self.exact:
+            state = receiver.init_state(self.cfg,
+                                        batch=(self.t_shards, channels))
+            # distinct host buffers per leaf: equal on-device constants can
+            # be deduped into one buffer, which breaks donation in step()
+            state = jax.tree.map(lambda a: np.array(a), state)
+            state = jax.device_put(state, self._sharding_for_state())
+            return ShardedCarry(state=state, prev_tail=prev_tail)
 
-    def step(self, params: receiver.ReceiverParams, carry: ShardedCarry,
-             iq_u8: Array) -> tuple[ShardedCarry, ShardedOutputs]:
+        cfg = self.cfg
+        st = receiver.init_state(cfg, batch=(self.t_shards, channels))
+        front = receiver.front_state_of(st)
+        back = receiver.back_state_of(st)
+        tspec = NamedSharding(self.mesh, P(TIME_AXIS, CH_AXIS))
+        cspec = NamedSharding(self.mesh, P(CH_AXIS))
+        rspec = NamedSharding(self.mesh, P())
+        put = lambda t, s: jax.device_put(              # noqa: E731
+            jax.tree.map(lambda a: np.array(a), t), s)
+        L = self.pll_lanes
+        zlc = np.zeros((channels, L), np.float32)
+        cdr = None
+        if cfg.supports_rds:
+            cdr = receiver.CDRState(
+                offset=np.zeros((channels,), np.int32),
+                found=np.zeros((channels,), bool))
+            cdr = jax.device_put(cdr, cspec)
+        prev_codes = jax.device_put(
+            np.full((channels, L, self.overlap_blocks * cfg.if_per_block),
+                    pll.CODE_INVALID, np.int8),
+            NamedSharding(self.mesh, P(CH_AXIS, None, None)))
+        return ExactCarry(
+            front=put(front, jax.tree.map(lambda _: tspec, front)),
+            back=put(back, jax.tree.map(lambda _: tspec, back)),
+            pll_integ=jax.device_put(zlc.copy(), cspec),
+            pll_phase=jax.device_put(zlc.copy(), cspec),
+            pll_angle=jax.device_put(zlc.copy(), cspec),
+            cdr=cdr, prev_tail=prev_tail, prev_codes=prev_codes,
+            started=jax.device_put(np.zeros((), bool), rspec))
+
+    def step(self, params: receiver.ReceiverParams, carry,
+             iq_u8: Array) -> tuple["ShardedCarry | ExactCarry",
+                                    ShardedOutputs]:
         """iq_u8: [C, chunk_len] uint8, ideally already placed with
         ``input_sharding()``."""
         return self._step(params, carry, iq_u8)
@@ -209,5 +283,202 @@ class ShardedReceiver:
                                      iq_u8)
             new_tail = iq_u8[..., -halo:]
             return ShardedCarry(state=new_state, prev_tail=new_tail), outs
+
+        return step
+
+    def _build_exact(self):
+        cfg = self.cfg
+        t_shards = self.t_shards
+        s_blocks = self.shard_blocks
+        o_blocks = self.overlap_blocks
+        bs = cfg.block_size
+        n_if = cfg.if_per_block
+        halo = self.halo_len
+        stereo = self.stereo
+        precision = self.precision
+        rds_on = cfg.supports_rds
+        f32 = jnp.float32
+
+        if rds_on:
+            freq = np.array([cfg.pll_freq, cfg.rds_pll_freq], np.float32)
+            bw = np.array([cfg.pll_bandwidth, cfg.rds_pll_bandwidth],
+                          np.float32)
+        else:
+            freq = np.array([cfg.pll_freq], np.float32)
+            bw = np.array([cfg.pll_bandwidth], np.float32)
+
+        st0 = receiver.init_state(cfg, batch=(1, 1))
+        front_spec = jax.tree.map(lambda _: P(TIME_AXIS, CH_AXIS),
+                                  receiver.front_state_of(st0))
+        back_spec = jax.tree.map(lambda _: P(TIME_AXIS, CH_AXIS),
+                                 receiver.back_state_of(st0))
+        params_spec = jax.tree.map(lambda _: P(), receiver.make_params(cfg))
+        cdr_spec = (receiver.CDRState(offset=P(CH_AXIS), found=P(CH_AXIS))
+                    if rds_on else None)
+        out_specs = ShardedOutputs(
+            mono=P(CH_AXIS, TIME_AXIS), left=P(CH_AXIS, TIME_AXIS),
+            right=P(CH_AXIS, TIME_AXIS), pcm=P(CH_AXIS, TIME_AXIS),
+            rds_symbols=P(CH_AXIS, TIME_AXIS) if rds_on else None,
+            rds_resync=P(CH_AXIS, TIME_AXIS) if rds_on else None,
+            rds_offset=P(CH_AXIS, TIME_AXIS) if rds_on else None,
+        )
+
+        def local(params, front, back, integ, pe, ang, cdr, prev_tail,
+                  prev_codes, started, iq):
+            from dy4tpu.ops import mix as mixops
+            front = jax.tree.map(lambda a: a[0], front)
+            back = jax.tree.map(lambda a: a[0], back)
+            t_idx = lax.axis_index(TIME_AXIS)
+
+            # raw-IQ halo from the left time-neighbour (shard 0: carried
+            # global tail) — heals every front-state input window
+            if t_shards > 1:
+                nbr = lax.ppermute(iq[..., -halo:], TIME_AXIS,
+                                   perm=[(i, i + 1)
+                                         for i in range(t_shards - 1)])
+                left = jnp.where(t_idx == 0, prev_tail, nbr)
+            else:
+                left = prev_tail
+            ext = jnp.concatenate([left, iq], axis=-1)
+            blocks = ext.reshape((*ext.shape[:-1], o_blocks + s_blocks, bs))
+            blocks = jnp.moveaxis(blocks, -2, 0)   # [O+S, C_l, bs]
+
+            # ---- stage 1: LTI front half, time-parallel ----
+            def fbody(st, blk):
+                st, fo = receiver.front_step(params, st, blk, cfg,
+                                             precision=precision,
+                                             rds_enabled=rds_on)
+                return st, fo
+
+            new_front, fos = lax.scan(fbody, front, blocks)
+
+            # ---- stage 2: global PLL over gathered sign codes ----
+            def to_stream(x):                       # [S, C_l, N] -> [C_l, S*N]
+                x = jnp.moveaxis(x, 0, -2)
+                return x.reshape((*x.shape[:-2], -1))
+
+            lanes = [fos.pilot[o_blocks:]]
+            if rds_on:
+                lanes.append(fos.carrier[o_blocks:])
+            codes_local = jnp.stack(
+                [to_stream(pll.encode_sign(v)) for v in lanes], axis=-2)
+            codes_chunk = lax.all_gather(codes_local, TIME_AXIS, axis=-1,
+                                         tiled=True)  # [C_l, L, T*S*N]
+            codes_all = jnp.concatenate([prev_codes, codes_chunk], axis=-1)
+            # carry_mid = state O blocks before the NEXT chunk's start —
+            # exactly where the next call's scan must resume
+            phis, carry_mid, _ = pll.phase_scan_coded(
+                codes_all, (integ, pe, ang), freq=freq, fs=cfg.if_fs,
+                norm_bandwidth=bw, split_at=t_shards * s_blocks * n_if)
+
+            span = (o_blocks + s_blocks) * n_if
+            start = t_idx * (s_blocks * n_if)
+            phis_sh = lax.dynamic_slice_in_dim(phis, start, span, axis=-1)
+
+            # NCO synthesis — identical float ops to pll() (scale mult +
+            # phase_adjust 0.0 add), so samples match bit-for-bit
+            nco = jnp.cos(phis_sh[..., 0, :] * f32(cfg.pll_nco_scale)
+                          + f32(0.0))
+            if rds_on:
+                arg = (phis_sh[..., 1, :] * f32(cfg.rds_pll_nco_scale)
+                       + f32(0.0))
+                nco_i = jnp.cos(arg)
+                nco_q = jnp.sin(arg)
+                # reference quirk: the stream's first quadrature NCO sample
+                # is the init value 1.0 (fmMonoBlock.py:441)
+                pos = ((t_idx * s_blocks - o_blocks) * n_if
+                       + jnp.arange(span, dtype=jnp.int32))
+                nco_q = jnp.where((~started) & (pos == 0), f32(1.0), nco_q)
+            else:
+                nco_i = nco_q = None
+
+            def to_blocks(x):
+                if x is None:
+                    return None
+                x = x.reshape((*x.shape[:-1], o_blocks + s_blocks, n_if))
+                return jnp.moveaxis(x, -2, 0)       # [O+S, C_l, N]
+
+            # ---- stage 3: NCO-mixed back half, time-parallel ----
+            def bbody(st, inp):
+                fo, nk, nik, nqk = inp
+                st, bo = receiver.back_step(params, st, fo, nk, nik, nqk,
+                                            cfg, precision=precision,
+                                            rds_enabled=rds_on)
+                return st, bo
+
+            new_back, bos = lax.scan(
+                bbody, back,
+                (fos, to_blocks(nco), to_blocks(nco_i), to_blocks(nco_q)))
+
+            def flatten_blocks(x):                  # [S, C_l, n] -> [C_l, S*n]
+                x = jnp.moveaxis(x, 0, -2)
+                return x.reshape((*x.shape[:-2], -1))
+
+            keep = lambda x: flatten_blocks(x[o_blocks:])  # noqa: E731
+            mono = keep(bos.mono)
+            leftch = keep(bos.left)
+            rightch = keep(bos.right)
+            if stereo:
+                pcm = mixops.quantize_s16(mixops.interleave(leftch,
+                                                            rightch))
+            else:
+                pcm = mixops.quantize_s16(mono)
+
+            # ---- stage 4: global CDR over gathered baseband ----
+            if rds_on:
+                bb = jnp.stack([bos.bb_i, bos.bb_q], axis=-2)
+                bb_all = lax.all_gather(bb[o_blocks:], TIME_AXIS, axis=0,
+                                        tiled=True)  # [T*S, C_l, 2, M]
+
+                def cbody(cst, bbk):
+                    _si, _sq, symbols, resync, cst2 = receiver._cdr(
+                        bbk[..., 0, :], bbk[..., 1, :], cst, cfg.rds_sps)
+                    return cst2, (symbols, resync, cst2.offset)
+
+                new_cdr, (sym_all, res_all, off_all) = lax.scan(cbody, cdr,
+                                                                bb_all)
+                sl = lambda x: lax.dynamic_slice_in_dim(  # noqa: E731
+                    x, t_idx * s_blocks, s_blocks, axis=0)
+                syms = flatten_blocks(sl(sym_all))
+                resync = jnp.moveaxis(sl(res_all), 0, -1)
+                offset = jnp.moveaxis(sl(off_all), 0, -1)
+            else:
+                new_cdr = cdr
+                syms = resync = offset = None
+
+            new_prev_codes = codes_chunk[
+                ..., (t_shards * s_blocks - o_blocks) * n_if:]
+            new_front = jax.tree.map(lambda a: a[None], new_front)
+            new_back = jax.tree.map(lambda a: a[None], new_back)
+            i2, p2, a2 = carry_mid
+            return (new_front, new_back, i2, p2, a2, new_cdr,
+                    new_prev_codes, jnp.ones((), bool),
+                    ShardedOutputs(mono=mono, left=leftch, right=rightch,
+                                   pcm=pcm, rds_symbols=syms,
+                                   rds_resync=resync, rds_offset=offset))
+
+        pllc_spec = P(CH_AXIS, None)
+        mapped = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(params_spec, front_spec, back_spec, pllc_spec,
+                      pllc_spec, pllc_spec, cdr_spec, P(CH_AXIS, None),
+                      P(CH_AXIS, None, None), P(), P(CH_AXIS, TIME_AXIS)),
+            out_specs=(front_spec, back_spec, pllc_spec, pllc_spec,
+                       pllc_spec, cdr_spec, P(CH_AXIS, None, None), P(),
+                       out_specs),
+            check_vma=False,
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, carry: ExactCarry, iq_u8):
+            (nf, nb, i2, p2, a2, ncdr, npc, nstarted, outs) = mapped(
+                params, carry.front, carry.back, carry.pll_integ,
+                carry.pll_phase, carry.pll_angle, carry.cdr,
+                carry.prev_tail, carry.prev_codes, carry.started, iq_u8)
+            new_tail = iq_u8[..., -halo:]
+            return ExactCarry(front=nf, back=nb, pll_integ=i2,
+                              pll_phase=p2, pll_angle=a2, cdr=ncdr,
+                              prev_tail=new_tail, prev_codes=npc,
+                              started=nstarted), outs
 
         return step

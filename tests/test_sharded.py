@@ -1,12 +1,11 @@
 """Time/channel-sharded receiver vs the sequential scan.
 
 Correctness claims verified here (see dy4tpu/parallel/sharded.py):
-  * the LTI portion (mono path) is *exact* under time sharding — every
-    FIR/delay state is reproduced by the raw-IQ halo;
-  * streaming across successive step() calls is seamless (prev_tail
-    handoff);
-  * the PLL-bearing stereo path converges to the sequential trajectory
-    after the warm-up region.
+  * exact mode (default) is **bit-exact** vs the sequential scan on every
+    output — mono, left/right, RDS symbols, CDR offset/resync — across
+    step() boundaries (prev_tail + sign-code + global PLL/CDR carries);
+  * legacy mode (exact=False) converges to the sequential trajectory
+    after the halo warm-up (PLL re-lock), the documented approximation.
 """
 
 import numpy as np
@@ -66,24 +65,21 @@ def test_sharded_matches_sequential(mode0_stream):
         outs.append(jax.tree.map(np.asarray, out))
     sh_mono = np.concatenate([o.mono for o in outs], axis=-1)
     sh_l = np.concatenate([o.left for o in outs], axis=-1)
+    sh_r = np.concatenate([o.right for o in outs], axis=-1)
     assert sh_mono.shape == (channels, len(seq_mono))
 
-    # mono path is LTI -> exact under the halo construction, every shard,
-    # both channels, across the step() boundary
+    # exact mode: every output bit-equal to the sequential scan, every
+    # shard, both channels, across the step() boundary
     for c in range(channels):
-        np.testing.assert_allclose(sh_mono[c], seq_mono, atol=2e-5)
-
-    # stereo involves the PLL: compare after lock (skip first 2 block-spans)
-    apb = cfg.audio_per_block
-    a, b = sh_l[0][2 * apb:], seq_l[2 * apb:]
-    err = np.sqrt(np.mean((a - b) ** 2))
-    sig = np.sqrt(np.mean(b ** 2))
-    assert err < 0.1 * sig, (err, sig)
+        np.testing.assert_array_equal(sh_mono[c], seq_mono)
+        np.testing.assert_array_equal(sh_l[c], seq_l)
+        np.testing.assert_array_equal(sh_r[c], np.asarray(seq.right).ravel())
 
 
 def test_sharded_rds_symbols(mode0_stream):
-    """RDS hard symbols from the sharded pipeline agree with sequential
-    decode away from warm-up boundaries."""
+    """RDS hard symbols, CDR offsets, and resync flags from the exact
+    sharded pipeline EQUAL the sequential decode, from block 0, across a
+    step() boundary (VERDICT r1 item 3: no 0.95 agreement bar)."""
     cfg, n_blocks, iq = mode0_stream
     rng = np.random.default_rng(1)
     bits = rng.integers(0, 2, 2000).astype(np.int8)
@@ -92,28 +88,60 @@ def test_sharded_rds_symbols(mode0_stream):
                        left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.6),
                        right=fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.6),
                        rds_bits=bits)
-    mesh = make_mesh(ch=1, time=8)
+    mesh = make_mesh(ch=1, time=4)
     rx = ShardedReceiver(cfg, mesh, shard_blocks=1, overlap_blocks=1)
     params = receiver.make_params(cfg)
     carry = rx.init(1)
-    carry, out = rx.step(params, carry,
-                         jax.device_put(jnp.asarray(iq[None]),
-                                        rx.input_sharding()))
-    sh_syms = np.asarray(out.rds_symbols)[0]
+    outs = []
+    for half in range(2):  # two step() calls: exercises all exact carries
+        chunk = iq[None, half * rx.chunk_len:(half + 1) * rx.chunk_len]
+        carry, out = rx.step(params, carry,
+                             jax.device_put(jnp.asarray(chunk),
+                                            rx.input_sharding()))
+        outs.append(jax.tree.map(np.asarray, out))
+    sh_syms = np.concatenate([o.rds_symbols for o in outs], -1)[0]
+    sh_off = np.concatenate([o.rds_offset for o in outs], -1)[0]
+    sh_res = np.concatenate([o.rds_resync for o in outs], -1)[0]
 
     seq = _sequential(cfg, iq, n_blocks)
-    seq_syms = np.asarray(seq.rds_symbols).ravel()
+    np.testing.assert_array_equal(sh_syms,
+                                  np.asarray(seq.rds_symbols).ravel())
+    np.testing.assert_array_equal(sh_off,
+                                  np.asarray(seq.rds_offset).ravel())
+    np.testing.assert_array_equal(sh_res,
+                                  np.asarray(seq.rds_resync).ravel())
 
-    spb = cfg.rds_symbols_per_block
-    # compare the second half of every shard's span (CDR/PLL settled)
-    agree = 0
-    total = 0
-    for k in range(2, n_blocks):
-        a = sh_syms[k * spb + spb // 2:(k + 1) * spb]
-        b = seq_syms[k * spb + spb // 2:(k + 1) * spb]
-        agree += int((a == b).sum())
-        total += len(a)
-    assert agree / total > 0.95, agree / total
+
+def test_sharded_legacy_converges(mode0_stream):
+    """exact=False (cheaper, no gather): PLL re-locks in the warm-up, so
+    the stereo path converges to (not equals) the sequential trajectory."""
+    cfg, n_blocks, iq = mode0_stream
+    mesh = make_mesh(ch=2, time=4)
+    rx = ShardedReceiver(cfg, mesh, shard_blocks=1, overlap_blocks=1,
+                         exact=False)
+    channels = 2
+    params = receiver.make_params(cfg)
+    carry = rx.init(channels)
+    iq2 = np.broadcast_to(iq, (channels, len(iq))).copy()
+    seq = _sequential(cfg, iq, n_blocks)
+    seq_mono = np.asarray(seq.mono).ravel()
+    seq_l = np.asarray(seq.left).ravel()
+
+    outs = []
+    for half in range(2):
+        chunk = iq2[:, half * rx.chunk_len:(half + 1) * rx.chunk_len]
+        carry, out = rx.step(params, carry,
+                             jax.device_put(jnp.asarray(chunk),
+                                            rx.input_sharding()))
+        outs.append(jax.tree.map(np.asarray, out))
+    sh_mono = np.concatenate([o.mono for o in outs], axis=-1)
+    sh_l = np.concatenate([o.left for o in outs], axis=-1)
+    # mono (LTI) exact even in legacy mode; stereo within 10% RMS post-lock
+    np.testing.assert_allclose(sh_mono[0], seq_mono, atol=2e-5)
+    apb = cfg.audio_per_block
+    a, b = sh_l[0][2 * apb:], seq_l[2 * apb:]
+    err = np.sqrt(np.mean((a - b) ** 2))
+    assert err < 0.1 * np.sqrt(np.mean(b ** 2)), err
 
 
 def test_sharded_mode1_no_rds():
