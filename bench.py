@@ -9,17 +9,35 @@ receiver on one chip (batched over channels, scanned over blocks).
 station at 2.4 MS/s (constraints pdf p.2) — the reference C++ on an RPi 4
 runs ~1x real time for one station with no RDS; BASELINE.md's north-star
 target is >=62.5x per chip (1000x on 16 chips).
+
+Self-validating (VERDICT r1 item 8): the timed input is a *synthesized
+stereo+RDS broadcast*, not noise, and before printing the JSON line the
+same run's outputs must pass stereo tone separation (>15 dB) and RDS
+PI/PS recovery on a probe channel — the headline number implies decode
+correctness every round.
+
+Modes (env BENCH_MODE):
+  chain   (default) single-chip full-chain throughput
+  sharded time-sharded ShardedReceiver across all visible devices;
+          reports scaling efficiency vs the plain sequential scan
+          (BASELINE scaling protocol, VERDICT r1 item 2)
+
+Other knobs: BENCH_CHANNELS, BENCH_BLOCKS, BENCH_REPEATS,
+BENCH_PRECISION (default|high|highest), BENCH_VALIDATE=0 to skip the
+decode asserts (debug only).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from dy4tpu.utils import jaxenv
 jaxenv.setup()
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -27,8 +45,73 @@ from jax import lax
 from dy4tpu.config import get_mode
 from dy4tpu.pipeline import receiver
 
+PI_CODE = 0x54A7
+PS_NAME = "DY4TPU  "
 
-def main() -> None:
+
+def _precision():
+    return {"default": lax.Precision.DEFAULT,
+            "high": lax.Precision.HIGH,
+            "highest": lax.Precision.HIGHEST}[
+        os.environ.get("BENCH_PRECISION", "default")]
+
+
+def _broadcast_blocks(cfg, n_blocks: int, channels: int):
+    """Synthesized broadcast, tiled to [n_blocks, C, block] on device."""
+    from dy4tpu.rds import coding
+    from dy4tpu.tx import fm
+
+    n_audio = n_blocks * cfg.audio_per_block
+    bits = coding.make_ps_bitstream(PI_CODE, 10, PS_NAME,
+                                    repeats=max(2, n_blocks))
+    base = fm.synthesize(
+        cfg, n_blocks,
+        left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.7),
+        right=fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.7),
+        rds_bits=bits)
+    one = jnp.asarray(base.reshape(n_blocks, cfg.block_size))  # ~5 MB push
+
+    @jax.jit
+    def tile(x):
+        # materialized [n_blocks, C, block] buffer: every channel is a
+        # real HBM stream for the bandwidth measurement
+        return jnp.broadcast_to(x[:, None, :],
+                                (n_blocks, channels,
+                                 cfg.block_size)) + jnp.uint8(0)
+
+    iq = tile(one)
+    jax.block_until_ready(iq)
+    return iq
+
+
+def _validate(cfg, outs, n_blocks: int) -> None:
+    """Stereo separation + RDS PI/PS recovery on probe channel 0."""
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import RDSDecoder
+
+    mono, left, right, syms, resync = (np.asarray(o) for o in outs)
+    l = left[3:, 0].ravel()
+    r = right[3:, 0].ravel()
+    t = np.arange(len(l)) / cfg.audio_fs
+    probe = lambda x, f: np.abs(x @ np.exp(-2j * np.pi * f * t)) / len(x)  # noqa: E731
+    sep_l = 20 * np.log10(probe(l, 800.0) / max(probe(l, 2400.0), 1e-12))
+    sep_r = 20 * np.log10(probe(r, 2400.0) / max(probe(r, 800.0), 1e-12))
+    assert sep_l > 15 and sep_r > 15, (
+        f"stereo separation failed: L={sep_l:.1f} dB R={sep_r:.1f} dB")
+
+    app = ApplicationLayer()
+    dec = RDSDecoder(on_group=app.process)
+    for b in range(n_blocks):
+        dec.push_block(syms[b, 0], resync=bool(resync[b, 0]))
+    assert app.info.pi_hex == f"{PI_CODE:04X}", (
+        f"PI not recovered: {app.info.pi_hex} (groups={app.info.groups_seen})")
+    assert app.info.ps_name.strip() == PS_NAME.strip(), app.info.ps_name
+    print(f"validated: sep L/R {sep_l:.1f}/{sep_r:.1f} dB, "
+          f"PI={app.info.pi_hex} PS={app.info.ps_name!r} "
+          f"({app.info.groups_seen} groups)", file=sys.stderr)
+
+
+def bench_chain() -> None:
     cfg = get_mode(0)
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
@@ -38,32 +121,27 @@ def main() -> None:
     # DEFAULT (bf16-input matmul) is the production-serving configuration:
     # benchmarks/precision_check.py measures bit-identical RDS symbols and
     # equal stereo separation vs HIGHEST on the synthesized broadcast.
-    precision = {"default": lax.Precision.DEFAULT,
-                 "high": lax.Precision.HIGH,
-                 "highest": lax.Precision.HIGHEST}[
-        os.environ.get("BENCH_PRECISION", "default")]
+    precision = _precision()
 
     params = receiver.make_params(cfg)
     state = receiver.init_state(cfg, batch=(channels,))
-    # generate the IQ stream on device: a host->device push of the full
-    # tensor (GBs at large channel counts) would dominate setup time
-    iq = jax.jit(
-        lambda key: jax.random.randint(
-            key, (n_blocks, channels, cfg.block_size), 0, 256, jnp.uint8),
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(iq)
+    iq = _broadcast_blocks(cfg, n_blocks, channels)
 
     @jax.jit
     def run(state, blocks):
         def body(st, blk):
             st, out = receiver.receiver_step(params, st, blk, cfg,
                                              precision=precision)
-            return st, (out.mono, out.left, out.right, out.rds_symbols)
+            return st, (out.mono, out.left, out.right, out.rds_symbols,
+                        out.rds_resync)
         return lax.scan(body, state, blocks)
 
-    # warm-up / compile
+    # warm-up / compile; this fresh-state pass also provides the decode
+    # outputs for validation
     st, outs = run(state, iq)
     jax.block_until_ready(outs)
+    if os.environ.get("BENCH_VALIDATE", "1") != "0" and n_blocks >= 16:
+        _validate(cfg, outs, n_blocks)
 
     times = []
     for _ in range(repeats):
@@ -82,6 +160,99 @@ def main() -> None:
         "unit": "MS/s",
         "vs_baseline": round(rt, 2),
     }))
+
+
+def bench_sharded() -> None:
+    """Scaling protocol: exact time-sharded receiver over all visible
+    devices vs the plain sequential scan on one device.
+
+    efficiency = sharded_throughput / (n_time_shards * plain_throughput):
+    1.0 means perfect time-axis scaling; on a single chip this measures
+    pure sharding overhead (halo + gather + replicated PLL replay).
+    """
+    from dy4tpu.parallel import ShardedReceiver, make_mesh
+
+    cfg = get_mode(0)
+    devs = jax.devices()
+    n_dev = len(devs)
+    on_tpu = devs[0].platform == "tpu"
+    channels = int(os.environ.get("BENCH_CHANNELS", 32 if on_tpu else 2))
+    s_blocks = int(os.environ.get("BENCH_SHARD_BLOCKS", 4))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
+    precision = _precision()
+    total_blocks = n_dev * s_blocks
+
+    params = receiver.make_params(cfg)
+    key = jax.random.PRNGKey(0)
+    iq = jax.jit(lambda k: jax.random.randint(
+        k, (channels, total_blocks * cfg.block_size), 0, 256,
+        jnp.uint8))(key)
+    jax.block_until_ready(iq)
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # plain sequential scan (1 device)
+    state = receiver.init_state(cfg, batch=(channels,))
+    blocks = jnp.moveaxis(
+        iq.reshape(channels, total_blocks, cfg.block_size), 1, 0)
+
+    @jax.jit
+    def plain(st, bl):
+        def body(s, b):
+            s, o = receiver.receiver_step(params, s, b, cfg,
+                                          precision=precision)
+            return s, (o.mono, o.rds_symbols)
+        return lax.scan(body, st, bl)
+
+    t_plain = timed(plain, state, blocks)
+
+    # exact time-sharded step over all devices (the carry is donated, so
+    # thread it through the timing loop like a real stream would)
+    mesh = make_mesh(ch=1, time=n_dev)
+    rx = ShardedReceiver(cfg, mesh, shard_blocks=s_blocks,
+                         overlap_blocks=1, precision=precision)
+    carry = rx.init(channels)
+    iq_sh = jax.device_put(iq, rx.input_sharding())
+    carry, out = rx.step(params, carry, iq_sh)     # compile + warm-up
+    jax.block_until_ready(out.mono)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        carry, out = rx.step(params, carry, iq_sh)
+        jax.block_until_ready(out.mono)
+        ts.append(time.perf_counter() - t0)
+    t_sh = min(ts)
+
+    iq_samples = channels * total_blocks * cfg.iq_per_block
+    msps_plain = iq_samples / t_plain / 1e6
+    msps_sh = iq_samples / t_sh / 1e6
+    eff = msps_sh / (n_dev * msps_plain)
+    print(f"plain 1-dev: {msps_plain:.1f} MS/s; sharded x{n_dev} dev "
+          f"(S={s_blocks}, O=1, exact): {msps_sh:.1f} MS/s; "
+          f"time-scaling efficiency {eff:.3f}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"sharded_time_scaling_efficiency_{n_dev}dev",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "vs_baseline": round(msps_sh, 3),
+    }))
+
+
+def main() -> None:
+    mode = os.environ.get("BENCH_MODE", "chain")
+    if mode == "sharded":
+        bench_sharded()
+    else:
+        bench_chain()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,210 @@
+"""Per-stage roofline: time, minimum HBM bytes, achieved GB/s, %-of-peak.
+
+Substantiates the BASELINE "filter/FFT kernels at HBM speed-of-light"
+row (VERDICT r1 item 1): for every receiver stage at the bench operating
+point we report wall-clock (scanned, so dispatch-amortised), the
+*minimum* HBM traffic the stage's dataflow implies (inputs read once +
+outputs written once), the achieved effective bandwidth against that
+minimum, and the fraction of the chip's peak HBM bandwidth.  A stage at
+100% reads/writes its streams exactly once at full memory speed; lower
+numbers mean either extra round trips (fusion opportunity) or
+compute-bound kernels.
+
+Run on the TPU:  python benchmarks/roofline.py
+Env: ROOF_CHANNELS (default 512), ROOF_BLOCKS (8), ROOF_PRECISION.
+"""
+
+import os
+import time
+
+from dy4tpu.utils import jaxenv
+jaxenv.setup()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dy4tpu.config import get_mode
+from dy4tpu.ops import fir, pll
+from dy4tpu.pipeline import receiver
+
+# Peak HBM bandwidth by device kind (GB/s).  v5e: 819 GB/s (public spec);
+# fall back to v5e's number for unknown kinds so %peak stays meaningful.
+PEAK_GBS = {
+    "TPU v4": 1228.0,
+    "TPU v5e": 819.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v6e": 1640.0,
+}
+
+
+def peak_for(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, v in PEAK_GBS.items():
+        if kind.startswith(k):
+            return v
+    return 819.0
+
+
+def bench_scan(body, carry0, xs, repeats=5):
+    """Best wall-clock of a jitted lax.scan over the leading axis of xs."""
+    @jax.jit
+    def run(c0, xs):
+        def f(c, x):
+            c2, y = body(c, x)
+            return c2, jax.tree.map(lambda a: a[..., :1], y)
+        return lax.scan(f, c0, xs)
+
+    out = run(carry0, xs)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run(carry0, xs)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main() -> None:
+    cfg = get_mode(0)
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    C = int(os.environ.get("ROOF_CHANNELS", 512 if on_tpu else 2))
+    B = int(os.environ.get("ROOF_BLOCKS", 8 if on_tpu else 2))
+    P = {"default": lax.Precision.DEFAULT, "high": lax.Precision.HIGH,
+         "highest": lax.Precision.HIGHEST}[
+        os.environ.get("ROOF_PRECISION", "default")]
+    peak = peak_for(dev)
+    params = receiver.make_params(cfg)
+    key = jax.random.PRNGKey(0)
+
+    n_if = cfg.if_per_block
+    rows = []
+
+    def report(name, dt, bytes_min, flops=0):
+        gbs = bytes_min / dt / 1e9
+        rows.append((name, dt * 1e3, bytes_min / 1e6, gbs,
+                     100.0 * gbs / peak, flops / dt / 1e12))
+
+    f32 = 4
+
+    # ---- RF front end: u8 block -> decimated I/Q (the RF-rate stage) ----
+    iq_u8 = jax.jit(lambda k: jax.random.randint(
+        k, (B, C, 2, cfg.iq_per_block), 0, 256, jnp.uint8))(key)
+    jax.block_until_ready(iq_u8)
+
+    def rf_body(c, x):
+        xf = (x.astype(jnp.float32) - 128.0) / 128.0
+        y, c2 = fir.block_fir_decim(xf, params.rf_coeff, c, cfg.rf_decim,
+                                    precision=P)
+        return c2, y
+    dt = bench_scan(rf_body, jnp.zeros((C, 2, cfg.num_taps - 1)), iq_u8)
+    # min traffic: u8 in once, decimated f32 out once
+    b_min = B * C * (2 * cfg.iq_per_block * 1 + 2 * n_if * f32)
+    report("rf u8->decim FIR", dt, b_min,
+           flops=B * C * 2 * cfg.num_taps * n_if * 2)
+
+    # ---- fused front end (u8 -> fm), when available ----
+    try:
+        from dy4tpu.ops import frontend_pallas
+        iq_blk = jax.jit(lambda k: jax.random.randint(
+            k, (B, C, cfg.block_size), 0, 256, jnp.uint8))(key)
+        jax.block_until_ready(iq_blk)
+
+        def fe_body(c, x):
+            tail, pi, pq = c
+            fm, tail2, pi2, pq2 = frontend_pallas.fused_frontend(
+                x, params.rf_coeff, tail, pi, pq, cfg.rf_decim)
+            return (tail2, pi2, pq2), fm
+        c0 = (jnp.zeros((C, 2, cfg.num_taps - 1)), jnp.zeros((C,)),
+              jnp.zeros((C,)))
+        dt = bench_scan(fe_body, c0, iq_blk)
+        b_min = B * C * (cfg.block_size * 1 + n_if * f32)
+        report("FUSED u8->fm (pallas)", dt, b_min,
+               flops=B * C * (2 * cfg.num_taps + 5) * n_if * 2)
+    except ImportError:
+        pass
+
+    # ---- band bank (3 BPFs over fm) ----
+    fm = jax.jit(lambda k: jax.random.normal(k, (B, C, n_if)))(key)
+    jax.block_until_ready(fm)
+
+    def bank_body(c, x):
+        y, c2 = fir.block_fir_bank(x, params.bank_coeff, c, precision=P)
+        return c2, y
+    dt = bench_scan(bank_body, jnp.zeros((C, 3, cfg.num_taps - 1)), fm)
+    report("band bank (3 BPF)", dt, B * C * (n_if * f32 + 3 * n_if * f32),
+           flops=B * C * 3 * cfg.num_taps * n_if * 2)
+
+    # ---- audio resampler (2 lanes mono+stereo) ----
+    aud_in = jax.jit(lambda k: jax.random.normal(k, (B, C, 2, n_if)))(key)
+    jax.block_until_ready(aud_in)
+
+    def aud_body(c, x):
+        y, c2 = fir.block_fir_resample(x, params.audio_coeff, c,
+                                       up=cfg.audio_up, down=cfg.audio_down,
+                                       precision=P)
+        return c2, y
+    c0 = jnp.zeros((C, 2, fir.state_len(cfg.audio_taps, cfg.audio_up)))
+    dt = bench_scan(aud_body, c0, aud_in)
+    report("audio resample x2", dt,
+           B * C * 2 * (n_if + cfg.audio_per_block) * f32,
+           flops=B * C * 2 * cfg.num_taps * cfg.audio_per_block * 2)
+
+    # ---- RDS LPF resampler (19/120, I+Q lanes) ----
+    def rds_body(c, x):
+        y, c2 = fir.block_fir_resample(x, params.rds_lpf_coeff, c,
+                                       up=cfg.rds_up, down=cfg.rds_down,
+                                       precision=P)
+        return c2, y
+    c0 = jnp.zeros((C, 2, fir.state_len(cfg.rds_taps, cfg.rds_up)))
+    dt = bench_scan(rds_body, c0, aud_in)
+    report("rds resample x2", dt,
+           B * C * 2 * (n_if + cfg.rds_per_block) * f32,
+           flops=B * C * 2 * cfg.num_taps * cfg.rds_per_block * 2)
+
+    # ---- stacked PLL (2 lanes) ----
+    pin = jax.jit(lambda k: jax.random.normal(k, (B, C, 2, n_if)))(key)
+    jax.block_until_ready(pin)
+
+    def pll_body(c, x):
+        i, q, c2 = pll.pll(x, c,
+                           freq=np.array([19e3, 114e3], np.float32),
+                           fs=cfg.if_fs,
+                           nco_scale=np.array([2.0, 0.5], np.float32),
+                           norm_bandwidth=np.array([0.01, 0.001],
+                                                   np.float32))
+        return c2, i
+    dt = bench_scan(pll_body, pll.init_state((C, 2)), pin)
+    report("PLL x2 lanes", dt, B * C * 2 * n_if * f32 * 2,
+           flops=B * C * 2 * n_if * 10)
+
+    # ---- full chain for reference ----
+    state = receiver.init_state(cfg, batch=(C,))
+    blk = jax.jit(lambda k: jax.random.randint(
+        k, (B, C, cfg.block_size), 0, 256, jnp.uint8))(key)
+    jax.block_until_ready(blk)
+
+    def full_body(s, b):
+        s, o = receiver.receiver_step(params, s, b, cfg, precision=P)
+        return s, (o.mono, o.rds_symbols)
+    dt = bench_scan(full_body, state, blk)
+    report("FULL chain", dt,
+           B * C * (cfg.block_size
+                    + (3 * cfg.audio_per_block
+                       + cfg.rds_symbols_per_block) * f32))
+
+    print(f"\ndevice: {dev.device_kind}  peak HBM: {peak:.0f} GB/s  "
+          f"C={C} B={B} precision={os.environ.get('ROOF_PRECISION', 'default')}")
+    print(f"{'stage':24s} {'ms':>8s} {'minMB':>8s} {'GB/s':>8s} "
+          f"{'%peak':>6s} {'TFLOP/s':>8s}")
+    for name, ms, mb, gbs, pct, tf in rows:
+        print(f"{name:24s} {ms:8.2f} {mb:8.1f} {gbs:8.1f} {pct:6.1f} "
+              f"{tf:8.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Fused RF front end: u8 IQ block -> FM demod output in one VMEM pass.
+
+Replaces four HBM round trips of the RF-rate stream (u8 read, normalized
+f32 I/Q write+read, Toeplitz-patch write+read, decimated I/Q write+read
+— the lowering of ``(iq_u8-128)/128`` + ``fir.block_fir_decim`` +
+``demod.fm_demod_diff``, the hot path of src/filter.cpp:123-140 +
+project.cpp:86-90) with ONE kernel that reads the u8 block, normalizes,
+deinterleaves, runs both decimating FIR legs as an on-MXU banded matmul
+built from VMEM patches, and demodulates — writing only the IF-rate
+``fm`` stream (D*8x fewer output bytes than input bytes).
+
+Design (see /opt/skills/guides/pallas_guide.md):
+
+* The raw u8 stream is pre-split OUTSIDE the kernel (cheap u8-rate XLA
+  transpose) into ``x20 [C, 2*D, N/D]`` — the 2*D interleave/decimation
+  phases — so every in-kernel slice is a full-lane row, never a strided
+  gather.
+* Output tile T=128 lanes.  For tile j, output m = j*T + t reads inputs
+  n = m*D - j' (j' < K): grouping the patch K-dim BY PHASE makes each
+  phase's contribution a pair of aligned reshapes of that phase row
+  (stride-T overlapping windows), so the patch tensor
+  ``Pg [BC, J, D*ceil] `` builds with 2 reshapes + 1 concat per phase —
+  no per-tap lane rotations (the bottleneck of the earlier VPU kernel,
+  ops/fir_pallas.py).
+* One ``jnp.dot`` per leg: ``[BC*J, W] x [W, T]`` with W = D*138 — MXU
+  M-dim is BC*J = 480, K = 1380, N = 128: fully tiled.
+* The demodulator is a handful of VPU ops on the [BC, M] result.
+
+Numerics: accumulation order differs from the conv/matmul XLA paths, so
+outputs agree to fp32 tolerance (pinned in tests/test_frontend_pallas.py),
+not bitwise; the precision flag mirrors the receiver's (bf16-input
+matmul for DEFAULT serving, f32 for HIGHEST).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_T = 128       # output tile (lanes)
+_BC = 8        # channel rows per grid cell
+
+
+@functools.cache
+def _hg_plan(k: int, decim: int):
+    """Phase-grouped banded matrix Hg [D*2T, T].
+
+    The kernel's per-phase window is a full 2T-lane tile pair (all
+    concats/reshapes stay 128-aligned — Mosaic rejects sub-lane-tile
+    concatenation), whose column c maps to phase-stream sample
+    ``q = c - (T - s_ph)``; columns outside the tap-validity window
+    (including the q<0 spill into earlier samples / zero padding) are
+    masked to zero: Hg[(r*2T + c), t] = h[j'] for
+    j' = t*D + (K-1) - (D*q + r) when 0 <= j' < K, else 0.
+
+    Returns (tap index matrix, mask) — applied to ``h`` at trace time so
+    the filter stays a runtime parameter.
+    """
+    s_ph = (k - 1) // decim
+    r = np.arange(decim)[:, None, None]               # phase
+    q = (np.arange(2 * _T) - (_T - s_ph))[None, :, None]
+    t = np.arange(_T)[None, None, :]
+    jp = t * decim + (k - 1) - (q * decim + r)
+    mask = (jp >= 0) & (jp <= k - 1)
+    idx = np.where(mask, jp, 0).reshape(decim * 2 * _T, _T).astype(np.int32)
+    return idx, mask.reshape(decim * 2 * _T, _T).astype(np.float32)
+
+
+def _kernel(x20_ref, tailph_ref, prev_ref, hg_ref, fm_ref, last_ref,
+            row_s, pg_s, *, decim: int, n_out: int, mm_dtype):
+    """One channel tile: u8 phases -> fm.  Shapes (phase dims LEADING so
+    every per-phase access is a slab select, never an offset-layout
+    slice — Mosaic miscompiles/rejects those):
+    x20 [2D, BC, M], tailph [2, D, BC, T] (tail right-aligned in the
+    lane tile), prev [BC, T] (prev_i/prev_q in lanes 0/1),
+    hg [D*2T, T], fm [BC, M], last [BC, T].
+    Scratch: row_s [BC, T+M] f32, pg_s [BC, J, D*2T] f32 — windows are
+    assembled with 128-aligned ref stores."""
+    bc = fm_ref.shape[0]
+    j_tiles = n_out // _T
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bc, n_out), 1)
+
+    legs = []
+    for leg in range(2):
+        for r in range(decim):
+            # u8 -> i32 -> f32: Mosaic has no direct u8->f32 cast
+            xr = x20_ref[2 * r + leg].astype(jnp.int32).astype(jnp.float32)
+            xr = (xr - 128.0) * jnp.float32(1.0 / 128.0)
+            row_s[:, :_T] = tailph_ref[leg, r]
+            row_s[:, _T:] = xr
+            row = row_s[:]
+            a = row[:, :j_tiles * _T].reshape(bc, j_tiles, _T)
+            b = row[:, _T:].reshape(bc, j_tiles, _T)
+            c0 = r * 2 * _T
+            pg_s[:, :, c0:c0 + _T] = a
+            pg_s[:, :, c0 + _T:c0 + 2 * _T] = b
+        pg = pg_s[:].reshape(bc * j_tiles, decim * 2 * _T)
+        y = jnp.dot(pg.astype(mm_dtype), hg_ref[:].astype(mm_dtype),
+                    preferred_element_type=jnp.float32)
+        legs.append(y.reshape(bc, n_out))
+
+    i_ds, q_ds = legs
+    # one-sample delay via roll + first-lane substitution (no sub-tile
+    # concats)
+    i_prev = jnp.where(lane == 0, prev_ref[:, 0:1],
+                       pltpu.roll(i_ds, 1, 1))
+    q_prev = jnp.where(lane == 0, prev_ref[:, 1:2],
+                       pltpu.roll(q_ds, 1, 1))
+    power = i_ds * i_ds + q_ds * q_ds
+    num = i_ds * (q_ds - q_prev) - q_ds * (i_ds - i_prev)
+    fm_ref[:] = jnp.where(power == 0, 0.0,
+                          num / jnp.where(power == 0, 1.0, power))
+    # carried prev = last decimated I/Q, emitted in lanes 0/1
+    last_i = jnp.sum(jnp.where(lane == n_out - 1, i_ds, 0.0), axis=1,
+                     keepdims=True)
+    last_q = jnp.sum(jnp.where(lane == n_out - 1, q_ds, 0.0), axis=1,
+                     keepdims=True)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (bc, _T), 1)
+    last_ref[:] = jnp.where(lane_t == 0, last_i,
+                            jnp.where(lane_t == 1, last_q, 0.0))
+
+
+def fused_frontend(iq_u8: Array, h: Array, iq_tail: Array, prev_i: Array,
+                   prev_q: Array, decim: int, *,
+                   mm_dtype=jnp.bfloat16,
+                   interpret: bool = False
+                   ) -> tuple[Array, Array, Array, Array]:
+    """u8 IQ block -> (fm, new_iq_tail, new_prev_i, new_prev_q).
+
+    Drop-in for the front of ``receiver.front_step``: semantics of
+    normalize + ``fir.block_fir_decim(.., decim)`` on both legs +
+    ``demod.fm_demod_diff`` (src/iofunc.cpp:113-120, filter.cpp:123-140,
+    85-102).  ``iq_u8``: [C, block], ``iq_tail``: [C, 2, K-1] f32 raw-rate
+    history, ``prev_i/q``: [C].
+    """
+    c, bs = iq_u8.shape
+    k = h.shape[0]
+    n_iq = bs // 2
+    n_out = n_iq // decim
+    assert n_out % _T == 0, (n_out, _T)
+    assert (k - 1) % decim == 0, (k, decim)
+    s_ph = (k - 1) // decim
+    assert s_ph <= _T, (s_ph, _T)
+    idx, mask = _hg_plan(k, decim)
+    hg = h[idx] * jnp.asarray(mask)                   # [D*2T, T]
+
+    # phase pre-split at u8 rate (the only pre-kernel HBM traffic);
+    # phase dims go LEADING so the kernel only ever slab-selects
+    x20 = iq_u8.reshape(c, n_out, 2 * decim)
+    x20 = jnp.transpose(x20, (2, 0, 1))               # [2D, C, M]
+    # tail phases: tail[c, leg, D*u + r] -> [leg, r, c, u], right-aligned
+    # into a full lane tile so the in-kernel store stays 128-aligned
+    tailph = iq_tail.reshape(c, 2, s_ph, decim)
+    tailph = jnp.transpose(tailph, (1, 3, 0, 2))      # [2, D, C, S/D]
+    tailph = jnp.pad(tailph, ((0, 0), (0, 0), (0, 0), (_T - s_ph, 0)))
+    prev = jnp.stack([prev_i, prev_q], axis=-1)       # [C, 2]
+    prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))       # lanes 0/1 used
+
+    c_pad = -(-c // _BC) * _BC
+    if c_pad != c:
+        pc = c_pad - c
+        x20 = jnp.pad(x20, ((0, 0), (0, pc), (0, 0)))
+        tailph = jnp.pad(tailph, ((0, 0), (0, 0), (0, pc), (0, 0)))
+        prev = jnp.pad(prev, ((0, pc), (0, 0)))
+
+    kern = functools.partial(_kernel, decim=decim, n_out=n_out,
+                             mm_dtype=mm_dtype)
+    fm, last = pl.pallas_call(
+        kern,
+        grid=(c_pad // _BC,),
+        in_specs=[
+            pl.BlockSpec((2 * decim, _BC, n_out), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, decim, _BC, _T), lambda i: (0, 0, i, 0)),
+            pl.BlockSpec((_BC, _T), lambda i: (i, 0)),
+            pl.BlockSpec((decim * 2 * _T, _T), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BC, n_out), lambda i: (i, 0)),
+            pl.BlockSpec((_BC, _T), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((c_pad, _T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_BC, _T + n_out), jnp.float32),
+            pltpu.VMEM((_BC, n_out // _T, decim * 2 * _T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x20, tailph, prev, hg)
+    fm, last = fm[:c], last[:c]
+
+    # new raw-rate tail from the block's last K-1 IQ pairs (u8-rate read
+    # of 2(K-1) bytes/channel — negligible)
+    tail_iq = iq_u8[:, bs - 2 * (k - 1):].astype(jnp.float32)
+    tail_iq = (tail_iq - 128.0) / 128.0
+    new_tail = jnp.swapaxes(tail_iq.reshape(c, k - 1, 2), -1, -2)
+    return fm, new_tail, last[:, 0], last[:, 1]

@@ -166,25 +166,58 @@ def back_state_of(state: ReceiverState) -> BackState:
         rrc_tail_q=None if rds is None else rds.rrc_tail_q)
 
 
+def fused_frontend_ok(cfg: ModeConfig) -> bool:
+    """Geometry gate for the fused Pallas front end (128-lane output
+    tiles; tap count phase-aligned to the decimation)."""
+    return (cfg.if_per_block % 128 == 0
+            and (cfg.num_taps - 1) % cfg.rf_decim == 0)
+
+
 def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                cfg: ModeConfig, *, precision=jax.lax.Precision.HIGHEST,
-               rds_enabled: bool = True
+               rds_enabled: bool = True, frontend: str = "auto"
                ) -> tuple[FrontState, FrontOut]:
     """RF front end + band bank + RDS carrier recovery filters — the LTI
-    half of the receiver (project.cpp:72-93 + fmMonoBlock.py:673-680)."""
+    half of the receiver (project.cpp:72-93 + fmMonoBlock.py:673-680).
+
+    ``frontend``: "stock" (normalize + conv/matmul FIR + demod as three
+    XLA ops), "fused" (one Pallas VMEM pass, ops/frontend_pallas.py), or
+    "auto" (fused on TPU when the mode geometry fits).
+    """
     bs = cfg.block_size
     assert iq_u8.shape[-1] == bs, (iq_u8.shape, bs)
-    x = (iq_u8.astype(jnp.float32) - 128.0) / 128.0
-    iq = x.reshape((*x.shape[:-1], bs // 2, 2))
-    iq = jnp.moveaxis(iq, -1, -2)  # [..., 2, N] : I row 0, Q row 1
+    if frontend == "auto":
+        frontend = ("fused" if jax.default_backend() == "tpu"
+                    and fused_frontend_ok(cfg) else "stock")
 
-    # ---- RF front end (project.cpp:72-93) ----
-    iq_ds, iq_tail = fir.block_fir_decim(iq, params.rf_coeff,
-                                         fstate.rf.iq_tail, cfg.rf_decim,
-                                         precision=precision)
-    i_ds, q_ds = iq_ds[..., 0, :], iq_ds[..., 1, :]
-    fm, prev_i, prev_q = demod.fm_demod_diff(i_ds, q_ds, fstate.rf.prev_i,
-                                             fstate.rf.prev_q)
+    if frontend == "fused":
+        from dy4tpu.ops import frontend_pallas
+        mm = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
+              else jnp.bfloat16)
+        batch = iq_u8.shape[:-1]
+        fm, iq_tail, prev_i, prev_q = frontend_pallas.fused_frontend(
+            iq_u8.reshape(-1, bs), params.rf_coeff,
+            fstate.rf.iq_tail.reshape((-1,) + fstate.rf.iq_tail.shape[len(batch):]),
+            fstate.rf.prev_i.reshape(-1), fstate.rf.prev_q.reshape(-1),
+            cfg.rf_decim, mm_dtype=mm)
+        fm = fm.reshape((*batch, -1))
+        iq_tail = iq_tail.reshape((*batch, *iq_tail.shape[1:]))
+        prev_i = prev_i.reshape(batch)
+        prev_q = prev_q.reshape(batch)
+    else:
+        x = (iq_u8.astype(jnp.float32) - 128.0) / 128.0
+        iq = x.reshape((*x.shape[:-1], bs // 2, 2))
+        iq = jnp.moveaxis(iq, -1, -2)  # [..., 2, N] : I row 0, Q row 1
+
+        # ---- RF front end (project.cpp:72-93) ----
+        iq_ds, iq_tail = fir.block_fir_decim(iq, params.rf_coeff,
+                                             fstate.rf.iq_tail,
+                                             cfg.rf_decim,
+                                             precision=precision)
+        i_ds, q_ds = iq_ds[..., 0, :], iq_ds[..., 1, :]
+        fm, prev_i, prev_q = demod.fm_demod_diff(i_ds, q_ds,
+                                                 fstate.rf.prev_i,
+                                                 fstate.rf.prev_q)
     new_rf = RFState(iq_tail=iq_tail, prev_i=prev_i, prev_q=prev_q)
 
     # ---- mono path delay (project.cpp:109-116) ----
@@ -362,7 +395,8 @@ def _cdr(bb_i: Array, bb_q: Array, state: CDRState, sps: int
 def receiver_step(params: ReceiverParams, state: ReceiverState,
                   iq_u8: Array, cfg: ModeConfig,
                   precision=jax.lax.Precision.HIGHEST,
-                  with_rds: Optional[bool] = None
+                  with_rds: Optional[bool] = None,
+                  frontend: str = "auto"
                   ) -> tuple[ReceiverState, StepOutputs]:
     """Process one block of interleaved u8 IQ samples.
 
@@ -377,7 +411,8 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
     rds_enabled = _rds_on(cfg, with_rds) and state.rds is not None
 
     fstate, fo = front_step(params, front_state_of(state), iq_u8, cfg,
-                            precision=precision, rds_enabled=rds_enabled)
+                            precision=precision, rds_enabled=rds_enabled,
+                            frontend=frontend)
 
     # ---- stereo + RDS PLLs (project.cpp:118-133; fmMonoBlock.py:683) ----
     if rds_enabled:

@@ -268,3 +268,107 @@ class NativeFrameSync:
 
 def u8ptr_t():
     return ctypes.POINTER(ctypes.c_uint8)
+
+
+class NativeFrameSyncBatch:
+    """Batched frame synchronizer: C channels, one C call per block.
+
+    The per-channel state machine is ``FrameSync`` (dy4_runtime.cpp); the
+    batch wrapper loops channels in C++ so the Python fleet layer does no
+    per-channel work.  State is exportable as one bytes blob per batch
+    (fixed-size per channel) for checkpointing.
+    """
+
+    def __init__(self, rows: np.ndarray, offset_words: dict, channels: int,
+                 max_misses: int = 2):
+        self._lib = load_library()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable")
+        if not hasattr(self._lib, "_fsbatch_bound"):
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            u16p = ctypes.POINTER(ctypes.c_uint16)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            self._lib.dy4_fsbatch_create.restype = ctypes.c_void_p
+            self._lib.dy4_fsbatch_create.argtypes = [
+                u16p, u16p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            self._lib.dy4_fsbatch_push.restype = ctypes.c_int
+            self._lib.dy4_fsbatch_push.argtypes = [
+                ctypes.c_void_p, u8p, i32p, ctypes.c_size_t, u8p,
+                u16p, i64p, i32p, ctypes.c_int]
+            self._lib.dy4_fsbatch_state_bytes.restype = ctypes.c_size_t
+            self._lib.dy4_fsbatch_state_bytes.argtypes = [ctypes.c_void_p]
+            self._lib.dy4_fsbatch_export.restype = ctypes.c_int
+            self._lib.dy4_fsbatch_export.argtypes = [ctypes.c_void_p, u8p]
+            self._lib.dy4_fsbatch_import.argtypes = [ctypes.c_void_p, u8p]
+            self._lib.dy4_fsbatch_synced.restype = ctypes.c_int
+            self._lib.dy4_fsbatch_synced.argtypes = [ctypes.c_void_p, u8p]
+            self._lib.dy4_fsbatch_destroy.argtypes = [ctypes.c_void_p]
+            self._lib._fsbatch_bound = True
+
+        pow2 = (1 << np.arange(9, -1, -1)).astype(np.int64)
+        row_vals = np.ascontiguousarray(
+            (np.asarray(rows, np.int64) @ pow2).astype(np.uint16))
+        types = {"A": 0, "B": 1, "C": 2, "Cp": 3, "D": 4}
+        off_syn = np.ascontiguousarray(
+            np.array(list(offset_words.values()), np.uint16))
+        off_typ = np.ascontiguousarray(
+            np.array([types[k] for k in offset_words], np.uint8))
+        self.channels = channels
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        self._h = self._lib.dy4_fsbatch_create(
+            row_vals.ctypes.data_as(u16p), off_syn.ctypes.data_as(u16p),
+            off_typ.ctypes.data_as(u8ptr_t()), len(off_syn), max_misses,
+            channels)
+
+    def push(self, bits: np.ndarray, lens: np.ndarray,
+             reset: Optional[np.ndarray] = None):
+        """``bits``: [C, stride] u8; ``lens``: [C] i32 valid bits per
+        channel; ``reset``: [C] bool.  Returns
+        ``(channel [n] i32, blocks [n, 4] u16, positions [n] i64)``."""
+        bits = np.ascontiguousarray(bits, np.uint8)
+        lens = np.ascontiguousarray(lens, np.int32)
+        stride = bits.shape[1] if bits.ndim == 2 else 0
+        cap = int(lens.sum()) // 104 + 2 * self.channels + 16
+        out_b = np.empty((cap, 4), np.uint16)
+        out_p = np.empty(cap, np.int64)
+        out_c = np.empty(cap, np.int32)
+        rst = None
+        if reset is not None:
+            rst = np.ascontiguousarray(reset, np.uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        n = self._lib.dy4_fsbatch_push(
+            self._h, _u8ptr(bits), lens.ctypes.data_as(i32p), stride,
+            _u8ptr(rst) if rst is not None else None,
+            out_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_c.ctypes.data_as(i32p), cap)
+        return out_c[:n].copy(), out_b[:n].copy(), out_p[:n].copy()
+
+    def export_state(self) -> bytes:
+        nb = self._lib.dy4_fsbatch_state_bytes(self._h)
+        buf = np.empty(nb, np.uint8)
+        if not self._lib.dy4_fsbatch_export(self._h, _u8ptr(buf)):
+            raise RuntimeError("framesync buffer exceeded serialized bound")
+        return buf.tobytes()
+
+    def import_state(self, blob: bytes) -> None:
+        buf = np.frombuffer(blob, np.uint8)
+        expect = self._lib.dy4_fsbatch_state_bytes(self._h)
+        if len(buf) != expect:
+            raise ValueError(f"state blob {len(buf)} B != expected {expect}")
+        self._lib.dy4_fsbatch_import(self._h, _u8ptr(buf))
+
+    @property
+    def synced(self) -> np.ndarray:
+        out = np.empty(self.channels, np.uint8)
+        self._lib.dy4_fsbatch_synced(self._h, _u8ptr(out))
+        return out.astype(bool)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.dy4_fsbatch_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()

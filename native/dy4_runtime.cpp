@@ -437,6 +437,92 @@ struct FrameSync {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Batched frame synchronizer: one context per channel, pushed in one C call
+// so the Python fleet layer does no per-channel work (the reference has no
+// multi-station concept; this is the host half of the channel-DP axis).
+// ---------------------------------------------------------------------------
+struct FrameSyncBatch {
+  std::vector<FrameSync> chans;
+
+  // Fixed-size serialized per-channel state (checkpointable fleet):
+  // buf is bounded — push() always trims to < 26+26 bits.
+  static constexpr size_t kMaxBuf = 128;
+  struct SerState {
+    int64_t pos_base;
+    int32_t cursor;
+    int32_t expected;
+    int32_t misses;
+    uint16_t blocks[4];
+    uint8_t have;
+    uint8_t synced;
+    uint16_t buf_len;
+    uint8_t buf[kMaxBuf];
+  };
+
+  int push(const uint8_t* bits, const int32_t* lens, size_t stride,
+           const uint8_t* reset_mask, uint16_t* out_blocks,
+           int64_t* out_pos, int32_t* out_ch, int cap) {
+    int emitted = 0;
+    for (size_t c = 0; c < chans.size(); ++c) {
+      if (reset_mask && reset_mask[c]) {
+        FrameSync& fs = chans[c];
+        fs.buf.clear();
+        fs.pos_base = 0;
+        fs.cursor = 0;
+        fs.synced = false;
+        fs.expected = -1;
+        fs.misses = 0;
+        fs.have = 0;
+      }
+      int n = lens ? lens[c] : static_cast<int>(stride);
+      if (n <= 0) continue;
+      int got = chans[c].push(bits + c * stride, static_cast<size_t>(n),
+                              out_blocks + emitted * 4, out_pos + emitted,
+                              cap - emitted);
+      for (int g = 0; g < got; ++g) out_ch[emitted + g] = static_cast<int>(c);
+      emitted += got;
+      if (emitted >= cap) break;
+    }
+    return emitted;
+  }
+
+  bool export_state(uint8_t* dst) const {
+    for (const FrameSync& fs : chans) {
+      if (fs.buf.size() > kMaxBuf) return false;
+      SerState s{};
+      s.pos_base = fs.pos_base;
+      s.cursor = static_cast<int32_t>(fs.cursor);
+      s.expected = fs.expected;
+      s.misses = fs.misses;
+      std::memcpy(s.blocks, fs.blocks, sizeof(s.blocks));
+      s.have = fs.have;
+      s.synced = fs.synced ? 1 : 0;
+      s.buf_len = static_cast<uint16_t>(fs.buf.size());
+      if (!fs.buf.empty()) std::memcpy(s.buf, fs.buf.data(), fs.buf.size());
+      std::memcpy(dst, &s, sizeof(s));
+      dst += sizeof(s);
+    }
+    return true;
+  }
+
+  void import_state(const uint8_t* src) {
+    for (FrameSync& fs : chans) {
+      SerState s;
+      std::memcpy(&s, src, sizeof(s));
+      src += sizeof(s);
+      fs.pos_base = s.pos_base;
+      fs.cursor = static_cast<size_t>(s.cursor);
+      fs.expected = s.expected;
+      fs.misses = s.misses;
+      std::memcpy(fs.blocks, s.blocks, sizeof(fs.blocks));
+      fs.have = s.have;
+      fs.synced = s.synced != 0;
+      fs.buf.assign(s.buf, s.buf + s.buf_len);
+    }
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -501,6 +587,50 @@ void dy4_framesync_reset(void* h) {
   fs->have = 0;
 }
 void dy4_framesync_destroy(void* h) { delete static_cast<FrameSync*>(h); }
+
+// ---- batched frame synchronizer (fleet) ----
+void* dy4_fsbatch_create(const uint16_t rows[26],
+                         const uint16_t* off_syndromes,
+                         const uint8_t* off_types, int n_off,
+                         int max_misses, int channels) {
+  auto* b = new FrameSyncBatch();
+  b->chans.resize(channels);
+  for (FrameSync& fs : b->chans) {
+    std::memcpy(fs.rows, rows, sizeof(fs.rows));
+    fs.off_syn.assign(off_syndromes, off_syndromes + n_off);
+    fs.off_type.assign(off_types, off_types + n_off);
+    fs.max_misses = max_misses;
+  }
+  return b;
+}
+// bits: [channels, stride] u8 row-major; lens: per-channel valid counts
+// (NULL = all stride); reset_mask: per-channel pre-push reset (NULL = none).
+// Emits up to cap groups as (out_ch, out_blocks[4], out_pos) triples.
+int dy4_fsbatch_push(void* h, const uint8_t* bits, const int32_t* lens,
+                     size_t stride, const uint8_t* reset_mask,
+                     uint16_t* out_blocks, int64_t* out_pos,
+                     int32_t* out_ch, int cap) {
+  return static_cast<FrameSyncBatch*>(h)->push(bits, lens, stride,
+                                               reset_mask, out_blocks,
+                                               out_pos, out_ch, cap);
+}
+size_t dy4_fsbatch_state_bytes(void* h) {
+  return static_cast<FrameSyncBatch*>(h)->chans.size() *
+         sizeof(FrameSyncBatch::SerState);
+}
+int dy4_fsbatch_export(void* h, uint8_t* dst) {
+  return static_cast<FrameSyncBatch*>(h)->export_state(dst) ? 1 : 0;
+}
+void dy4_fsbatch_import(void* h, const uint8_t* src) {
+  static_cast<FrameSyncBatch*>(h)->import_state(src);
+}
+int dy4_fsbatch_synced(void* h, uint8_t* dst) {
+  auto* b = static_cast<FrameSyncBatch*>(h);
+  for (size_t c = 0; c < b->chans.size(); ++c)
+    dst[c] = b->chans[c].synced ? 1 : 0;
+  return static_cast<int>(b->chans.size());
+}
+void dy4_fsbatch_destroy(void* h) { delete static_cast<FrameSyncBatch*>(h); }
 
 // ---- sink ----
 void* dy4_sink_create(int fd, size_t capacity_bytes) {

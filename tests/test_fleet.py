@@ -62,6 +62,101 @@ def test_native_framesync_throughput_floor():
     assert rate > 4e6, rate  # conservative floor even on loaded CI
 
 
+def _station_symbols(pi, ps, repeats=30):
+    bits = coding.make_ps_bitstream(pi, 10, ps, repeats=repeats)
+    halves = coding.manchester_halves(coding.differential_encode(bits))
+    return ((halves + 1) // 2).astype(np.int8)
+
+
+@pytest.mark.parametrize("spb", [76, 95])  # mode-0 even, mode-2 odd
+def test_batch_manchester_matches_scalar(spb):
+    """BatchManchester == per-channel ManchesterDecoder bit-for-bit,
+    including per-channel resets at different blocks and odd
+    symbols-per-block (mode 2)."""
+    from dy4tpu.rds.decoder import ManchesterDecoder
+    from dy4tpu.rds.fleet import BatchManchester
+
+    rng = np.random.default_rng(3)
+    c, n_blocks = 5, 24
+    sym = rng.integers(0, 2, (c, n_blocks * spb)).astype(np.int8)
+    resets = {1: 7, 3: 13}          # channel -> block index of reset
+
+    batch = BatchManchester(c)
+    scalars = [ManchesterDecoder() for _ in range(c)]
+    for b in range(n_blocks):
+        blk = sym[:, b * spb:(b + 1) * spb]
+        mask = np.zeros(c, bool)
+        for ch, rb in resets.items():
+            if rb == b:
+                mask[ch] = True
+                scalars[ch].reset()
+        if mask.any():
+            batch.reset(mask)
+        bits, lens = batch.push(blk)
+        for ch in range(c):
+            ref = scalars[ch].push(blk[ch])
+            assert lens[ch] == len(ref), (b, ch)
+            np.testing.assert_array_equal(bits[ch, :lens[ch]],
+                                          ref.astype(np.uint8))
+
+
+def test_fleet_matches_rdsdecoder_groups():
+    """FleetDecoder group stream == per-channel RDSDecoder."""
+    from dy4tpu.rds.decoder import RDSDecoder
+    from dy4tpu.rds.fleet import FleetDecoder
+
+    streams = [_station_symbols(0xAB12, "FLEET PAR"[:8]),
+               _station_symbols(0xCD34, "CHANNEL2")]
+    n = min(len(s) for s in streams)
+    sym = np.stack([s[:n] for s in streams])
+    fleet = FleetDecoder(2)
+    refs = [RDSDecoder(), RDSDecoder()]
+    step = 76
+    for i in range(0, n - step, step):
+        blk = sym[:, i:i + step]
+        fleet.push_block(blk)
+        for ch in range(2):
+            refs[ch].push_block(blk[ch])
+    for ch in range(2):
+        assert len(fleet.groups[ch]) == len(refs[ch].groups) > 10
+        for a, b in zip(fleet.groups[ch], refs[ch].groups):
+            assert a.blocks == b.blocks and a.bit_position == b.bit_position
+
+
+def test_fleet_checkpoint_roundtrip():
+    """state()/load_state() resumes mid-stream with an identical
+    continuation (manchester numpy state + native framesync blob)."""
+    from dy4tpu.rds.fleet import FleetDecoder
+
+    sym = np.stack([_station_symbols(0x7E57, "CKPTFLT "),
+                    _station_symbols(0x1357, "SECOND  ")])
+    n = sym.shape[1]
+    step = 76
+    starts = list(range(0, n - step, step))
+    cut = len(starts) // 2
+
+    full = FleetDecoder(2)
+    for i in starts:
+        full.push_block(sym[:, i:i + step])
+
+    first = FleetDecoder(2)
+    for i in starts[:cut]:
+        first.push_block(sym[:, i:i + step])
+    blob = first.state()
+
+    resumed = FleetDecoder(2)
+    resumed.load_state(blob)
+    for i in starts[cut:]:
+        resumed.push_block(sym[:, i:i + step])
+
+    for ch in range(2):
+        tail = resumed.groups[ch]
+        want = full.groups[ch][len(first.groups[ch]):]
+        assert len(tail) == len(want) > 5
+        for a, b in zip(tail, want):
+            assert a.blocks == b.blocks and a.bit_position == b.bit_position
+
+
 def test_fleet_decoder_multi_channel():
     from dy4tpu.rds.fleet import FleetDecoder
 

@@ -1,0 +1,91 @@
+"""Fused Pallas front end vs the stock normalize+FIR+demod lowering.
+
+Runs the kernel in interpreter mode on CPU (tests/conftest.py pins the
+platform), comparing against ``front_step(..., frontend="stock")``
+semantics: same state threading, fp32-tolerance outputs (accumulation
+order differs between the in-kernel banded matmul and the conv path).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dy4tpu.config import get_mode
+from dy4tpu.ops import demod, fir, frontend_pallas
+from dy4tpu.pipeline import receiver
+
+cfg = get_mode(0)
+
+
+def _stock(iq_u8, h, tail, pi, pq):
+    x = (iq_u8.astype(jnp.float32) - 128.0) / 128.0
+    iq = jnp.moveaxis(x.reshape(*x.shape[:-1], -1, 2), -1, -2)
+    iq_ds, tail2 = fir.block_fir_decim(iq, h, tail, cfg.rf_decim,
+                                       precision=lax.Precision.HIGHEST)
+    fm, pi2, pq2 = demod.fm_demod_diff(iq_ds[..., 0, :], iq_ds[..., 1, :],
+                                       pi, pq)
+    return fm, tail2, pi2, pq2
+
+
+def test_fused_frontend_matches_stock_two_blocks():
+    rng = np.random.default_rng(0)
+    c = 3  # also exercises the channel-pad path (not a multiple of 8)
+    params = receiver.make_params(cfg)
+    h = params.rf_coeff
+    tail = jnp.asarray(rng.standard_normal((c, 2, cfg.num_taps - 1))
+                       .astype(np.float32) * 0.1)
+    pi = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    pq = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    tail_f = tail
+    pi_f, pq_f = pi, pq
+    for _ in range(2):  # two blocks: exercises the carried state
+        blk = jnp.asarray(rng.integers(0, 256, (c, cfg.block_size),
+                                       dtype=np.uint8))
+        ref_fm, ref_tail, ref_pi, ref_pq = _stock(blk, h, tail, pi, pq)
+        fm, tail_f, pi_f, pq_f = frontend_pallas.fused_frontend(
+            blk, h, tail_f, pi_f, pq_f, cfg.rf_decim,
+            mm_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(fm), np.asarray(ref_fm),
+                                   atol=2e-3)  # demod /power amplifies
+        #   fp32 accumulation-order noise on pure-noise input
+        np.testing.assert_allclose(np.asarray(tail_f), np.asarray(ref_tail),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(pi_f), np.asarray(ref_pi),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pq_f), np.asarray(ref_pq),
+                                   atol=1e-5)
+        tail, pi, pq = ref_tail, ref_pi, ref_pq
+
+
+def test_front_step_fused_flag_cpu_interpret(monkeypatch):
+    """front_step(frontend="fused") wires the kernel correctly (state
+    shapes, batch flattening) — interpreter mode via monkeypatch."""
+    import functools
+    orig = frontend_pallas.fused_frontend
+    monkeypatch.setattr(frontend_pallas, "fused_frontend",
+                        functools.partial(orig, interpret=True))
+    rng = np.random.default_rng(1)
+    params = receiver.make_params(cfg)
+    state = receiver.init_state(cfg, batch=(2,))
+    blk = jnp.asarray(rng.integers(0, 256, (2, cfg.block_size),
+                                   dtype=np.uint8))
+    fs = receiver.front_state_of(state)
+    fs_stock, fo_stock = receiver.front_step(params, fs, blk, cfg,
+                                             frontend="stock")
+    fs_fused, fo_fused = receiver.front_step(params, fs, blk, cfg,
+                                             frontend="fused",
+                                             precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(fo_fused.pilot),
+                               np.asarray(fo_stock.pilot), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fs_fused.rf.iq_tail),
+                               np.asarray(fs_stock.rf.iq_tail), atol=1e-6)
+
+
+def test_fused_geometry_gate():
+    assert receiver.fused_frontend_ok(get_mode(0))
+    # gate must answer (not crash) for every mode
+    for m in (1, 2, 3):
+        receiver.fused_frontend_ok(get_mode(m))
