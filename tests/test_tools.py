@@ -56,3 +56,26 @@ def test_psdview_headless(tmp_path):
              [cap, "--mode", "0", "--blocks", "2", "--out", png])
     assert p.returncode == 0, p.stderr.decode()
     assert os.path.getsize(png) > 10000
+
+
+def test_psdview_animate_frames_and_gif(tmp_path):
+    """--animate renders one frame per block (fmMonoAnim.py:44-93
+    parity): PNG sequence via %d pattern, animated GIF via .gif."""
+    pytest.importorskip("matplotlib")
+    cap = str(tmp_path / "c.raw")
+    np.random.default_rng(0).integers(
+        0, 256, 3 * 2 * get_mode(0).block_size, dtype=np.uint8).tofile(cap)
+    pat = str(tmp_path / "frame_%02d.png")
+    p = _run("dy4tpu.tools.psdview",
+             [cap, "--mode", "0", "--blocks", "3", "--animate",
+              "--out", pat])
+    assert p.returncode == 0, p.stderr.decode()
+    for b in range(3):
+        assert os.path.getsize(pat % b) > 5000
+
+    gif = str(tmp_path / "psd.gif")
+    p = _run("dy4tpu.tools.psdview",
+             [cap, "--mode", "0", "--blocks", "3", "--animate",
+              "--out", gif])
+    assert p.returncode == 0, p.stderr.decode()
+    assert os.path.getsize(gif) > 10000
