@@ -2,9 +2,16 @@
 
 The production shape of the framework: N capture files (or N repeats of
 one) become an [N, block] channel batch; the whole mono+stereo+RDS DSP
-runs as one jitted scan per block row, and the RDS bit/frame layers
-drain through the native FleetDecoder.  Per-station PI/PS/radiotext and
-aggregate throughput print at the end.
+runs as one jitted scan per chunk of blocks, and the RDS bit/frame
+layers drain through the native FleetDecoder.
+
+Ingest is a double-buffered pipeline (replacing the reference's
+synchronous ``readStdinBlockData`` loop, src/iofunc.cpp:113-120): while
+the device computes chunk k, the host has already started the async
+``jax.device_put`` of chunk k+1 and is decoding chunk k-1's RDS symbols
+— upload, compute, and host decode all overlap.  ``--sync-ingest``
+serialises the three phases for an A/B measurement; per-phase times
+print in the stats either way.
 
     python -m dy4tpu.tools.fleet --mode 0 captures/*.raw
     python -m dy4tpu.tools.fleet --mode 0 --repeat 64 one_capture.raw
@@ -28,10 +35,17 @@ def main(argv=None) -> int:
     p.add_argument("--repeat", type=int, default=1,
                    help="tile the capture list this many times")
     p.add_argument("--max-blocks", type=int, default=None)
+    p.add_argument("--chunk", type=int, default=8,
+                   help="blocks per device dispatch")
+    p.add_argument("--sync-ingest", action="store_true",
+                   help="serialise upload/compute/decode (A/B baseline "
+                        "for the overlapped pipeline)")
     args = p.parse_args(argv)
 
     from dy4tpu.utils import jaxenv
     jaxenv.setup()
+
+    import functools
 
     import jax
     import jax.numpy as jnp
@@ -52,42 +66,78 @@ def main(argv=None) -> int:
         print("captures shorter than one block", file=sys.stderr)
         return 1
     c = len(raws)
+    # host-side chunk views [n_chunks][k, C, bs] (no device residency yet)
     iq = np.stack([r[:n_blocks * cfg.block_size] for r in raws])
-    blocks = jnp.asarray(
+    host_blocks = np.ascontiguousarray(
         iq.reshape(c, n_blocks, cfg.block_size).transpose(1, 0, 2))
+    k = max(1, args.chunk)
+    chunks = [host_blocks[i:i + k] for i in range(0, n_blocks, k)]
 
     params = receiver.make_params(cfg)
     state = receiver.init_state(cfg, batch=(c,))
 
-    @jax.jit
-    def run(state, blocks):
+    @functools.partial(jax.jit, static_argnames=("nk",))
+    def run_chunk(state, blocks, nk):
         def body(st, blk):
             st, out = receiver.receiver_step(params, st, blk, cfg)
-            return st, (out.rds_symbols, out.rds_resync)
+            return st, (out.rds_symbols, out.rds_resync, out.rds_offset)
         return lax.scan(body, state, blocks)
-
-    _, (symbols, resync) = run(state, blocks)   # compile + warm-up
-    jax.block_until_ready(symbols)
-    t0 = time.perf_counter()
-    _, (symbols, resync) = run(receiver.init_state(cfg, batch=(c,)),
-                               blocks)
-    jax.block_until_ready(symbols)
-    dsp_s = time.perf_counter() - t0
 
     apps = [ApplicationLayer() for _ in range(c)]
     fleet = FleetDecoder(c, on_group=lambda ch, g: apps[ch].process(g))
-    symbols = np.asarray(symbols)
-    resync = np.asarray(resync)
+    t_put = t_dispatch = t_drain = 0.0
+
+    def drain(outs) -> None:
+        nonlocal t_drain
+        t0 = time.perf_counter()
+        symbols, resync, offsets = (np.asarray(o) for o in outs)
+        for b in range(symbols.shape[0]):
+            fleet.push_block(symbols[b], resync[b], offsets[b])
+        t_drain += time.perf_counter() - t0
+
+    # compile with the two chunk lengths that occur (full + remainder)
+    for nk in sorted({ch.shape[0] for ch in chunks}):
+        s0 = receiver.init_state(cfg, batch=(c,))
+        out = run_chunk(s0, jnp.zeros((nk, c, cfg.block_size), jnp.uint8),
+                        nk)
+        jax.block_until_ready(out)
+
+    wall0 = time.perf_counter()
     t0 = time.perf_counter()
-    for b in range(n_blocks):
-        fleet.push_block(symbols[b], resync[b])
-    host_s = time.perf_counter() - t0
+    pending_in = jax.device_put(chunks[0])
+    if args.sync_ingest:
+        jax.block_until_ready(pending_in)
+    t_put += time.perf_counter() - t0
+    pending_out = None
+    for ci in range(len(chunks)):
+        cur = pending_in
+        t0 = time.perf_counter()
+        state, outs = run_chunk(state, cur, cur.shape[0])  # async dispatch
+        t_dispatch += time.perf_counter() - t0
+        if ci + 1 < len(chunks):
+            # start next upload while the device computes this chunk
+            t0 = time.perf_counter()
+            pending_in = jax.device_put(chunks[ci + 1])
+            if args.sync_ingest:
+                jax.block_until_ready(pending_in)
+            t_put += time.perf_counter() - t0
+        if args.sync_ingest:
+            jax.block_until_ready(outs)
+        if pending_out is not None:
+            drain(pending_out)       # host decode overlaps device compute
+        pending_out = outs
+    drain(pending_out)
+    wall = time.perf_counter() - wall0
 
     iq_total = c * n_blocks * cfg.iq_per_block
-    print(f"{c} stations x {n_blocks} blocks: DSP {dsp_s*1e3:.0f} ms "
-          f"({iq_total/dsp_s/1e6:.0f} MS/s, "
-          f"{iq_total/dsp_s/cfg.rf_fs:.0f}x real-time), "
-          f"RDS host layer {host_s*1e3:.0f} ms", file=sys.stderr)
+    mode = "sync" if args.sync_ingest else "overlapped"
+    print(f"{c} stations x {n_blocks} blocks ({mode} ingest, "
+          f"chunk={k}): wall {wall*1e3:.0f} ms = "
+          f"{iq_total/wall/1e6:.0f} MS/s "
+          f"({iq_total/wall/cfg.rf_fs:.0f}x real-time); "
+          f"phases: put {t_put*1e3:.0f} ms, dispatch "
+          f"{t_dispatch*1e3:.0f} ms, host decode {t_drain*1e3:.0f} ms",
+          file=sys.stderr)
     for ch, (path, app) in enumerate(zip(paths, apps)):
         info = app.info
         rt = f" RT={info.radiotext!r}" if info.radiotext else ""
