@@ -103,8 +103,12 @@ def _kernel(x20_ref, tailph_ref, prev_ref, hg_ref, fm_ref, last_ref,
             pg_s[:, :, c0:c0 + _T] = a
             pg_s[:, :, c0 + _T:c0 + 2 * _T] = b
         pg = pg_s[:].reshape(bc * j_tiles, decim * 2 * _T)
+        # f32 mm_dtype requests a HIGHEST-precision pass (bf16x multi-pass
+        # on the MXU); bf16 is the production-serving config
+        prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         y = jnp.dot(pg.astype(mm_dtype), hg_ref[:].astype(mm_dtype),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
         legs.append(y.reshape(bc, n_out))
 
     i_ds, q_ds = legs

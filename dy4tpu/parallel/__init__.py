@@ -13,4 +13,5 @@ The reference scales with two host threads and a mutex queue
 """
 
 from dy4tpu.parallel.mesh import make_mesh  # noqa: F401
-from dy4tpu.parallel.sharded import ShardedReceiver  # noqa: F401
+from dy4tpu.parallel.sharded import (  # noqa: F401
+    ExactCarry, ShardedCarry, ShardedOutputs, ShardedReceiver)

@@ -187,8 +187,13 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
     bs = cfg.block_size
     assert iq_u8.shape[-1] == bs, (iq_u8.shape, bs)
     if frontend == "auto":
-        frontend = ("fused" if jax.default_backend() == "tpu"
-                    and fused_frontend_ok(cfg) else "stock")
+        import os
+        env = os.environ.get("DY4TPU_FRONTEND", "auto")
+        if env in ("stock", "fused"):
+            frontend = env
+        else:
+            frontend = ("fused" if jax.default_backend() == "tpu"
+                        and fused_frontend_ok(cfg) else "stock")
 
     if frontend == "fused":
         from dy4tpu.ops import frontend_pallas
