@@ -68,23 +68,39 @@ def bench_scan(body, carry0, xs, repeats=5):
     return min(ts)
 
 
+def measure_dispatch_floor(repeats: int = 5) -> float:
+    """Fixed per-call latency (jit dispatch + axon tunnel round trip) —
+    subtracted from every stage so the table reflects device time."""
+    x = jnp.ones((8,))
+    f = jax.jit(lambda a: a * 2.0)
+    jax.block_until_ready(f(x))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def main() -> None:
     cfg = get_mode(0)
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     C = int(os.environ.get("ROOF_CHANNELS", 512 if on_tpu else 2))
-    B = int(os.environ.get("ROOF_BLOCKS", 8 if on_tpu else 2))
+    B = int(os.environ.get("ROOF_BLOCKS", 48 if on_tpu else 2))
     P = {"default": lax.Precision.DEFAULT, "high": lax.Precision.HIGH,
          "highest": lax.Precision.HIGHEST}[
         os.environ.get("ROOF_PRECISION", "default")]
     peak = peak_for(dev)
     params = receiver.make_params(cfg)
     key = jax.random.PRNGKey(0)
+    floor = measure_dispatch_floor()
 
     n_if = cfg.if_per_block
     rows = []
 
     def report(name, dt, bytes_min, flops=0):
+        dt = max(dt - floor, 1e-6)      # remove fixed dispatch latency
         gbs = bytes_min / dt / 1e9
         rows.append((name, dt * 1e3, bytes_min / 1e6, gbs,
                      100.0 * gbs / peak, flops / dt / 1e12))
@@ -198,7 +214,8 @@ def main() -> None:
                        + cfg.rds_symbols_per_block) * f32))
 
     print(f"\ndevice: {dev.device_kind}  peak HBM: {peak:.0f} GB/s  "
-          f"C={C} B={B} precision={os.environ.get('ROOF_PRECISION', 'default')}")
+          f"C={C} B={B} precision={os.environ.get('ROOF_PRECISION', 'default')}"
+          f"  dispatch floor {floor * 1e3:.1f} ms (subtracted)")
     print(f"{'stage':24s} {'ms':>8s} {'minMB':>8s} {'GB/s':>8s} "
           f"{'%peak':>6s} {'TFLOP/s':>8s}")
     for name, ms, mb, gbs, pct, tf in rows:

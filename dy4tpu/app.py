@@ -8,9 +8,10 @@ human-facing output:
     rtl_sdr -f 99.9M -s 2.4M - | python -m dy4tpu 0 r
 
 Paths: ``m``/``mono``, ``s``/``stereo``, ``r``/``rds`` (mono audio + RDS
-console output).  The reference accepts only ``mono|stereo`` and has no
+console output), plus ``sr`` (stereo audio + RDS, beyond the m|s|r
+contract).  The reference accepts only ``mono|stereo`` and has no
 real-time RDS at all (project.cpp:158-165; Final Report p.5) — here all
-three run on-device.
+paths run on-device.
 
 Pipeline shape: where the reference spawns a frontend/backend thread pair
 per block joined by a mutex queue (project.cpp:289-305), here each block is
@@ -33,7 +34,11 @@ from dy4tpu.utils import io as dio
 
 _PATHS = {"m": "mono", "mono": "mono",
           "s": "stereo", "stereo": "stereo",
-          "r": "rds", "rds": "rds"}
+          "r": "rds", "rds": "rds",
+          # beyond the constraints contract (m|s|r): stereo audio AND
+          # RDS console output in one run — the device computes the whole
+          # multiplex either way
+          "sr": "stereo_rds", "stereo-rds": "stereo_rds"}
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -43,7 +48,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("mode", type=int, choices=[0, 1, 2, 3],
                    help="operating mode (sample-rate preset)")
     p.add_argument("path", choices=sorted(_PATHS),
-                   help="m=mono, s=stereo, r=mono+RDS")
+                   help="m=mono, s=stereo, r=mono+RDS, sr=stereo+RDS")
     p.add_argument("--input", default=None, metavar="FILE",
                    help="u8 IQ capture file (default: stdin)")
     p.add_argument("--output", default=None, metavar="FILE",
@@ -76,7 +81,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     path = _PATHS[args.path]
     cfg = get_mode(args.mode)
 
-    want_rds = path == "rds"
+    want_rds = path in ("rds", "stereo_rds")
     if want_rds and not cfg.supports_rds:
         print(f"mode {args.mode} does not support RDS "
               f"(constraints pdf p.1: SPS defined for modes 0 and 2)",
@@ -93,7 +98,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     from dy4tpu.rds.decoder import RDSDecoder
     from dy4tpu.utils import checkpoint as ckpt
 
-    stereo = path == "stereo"
+    stereo = path in ("stereo", "stereo_rds")
     params = receiver.make_params(cfg, with_rds=want_rds)
     state = receiver.init_state(cfg, batch=(1,), with_rds=want_rds)
     block0 = 0

@@ -75,6 +75,24 @@ def test_cli_rds_decodes_station():
     assert "TESTING!" in err, err
 
 
+@pytest.mark.slow
+def test_cli_stereo_plus_rds():
+    """`sr` path: interleaved stereo PCM on stdout AND RDS decode on
+    stderr in one run (beyond the reference's m|s|r contract)."""
+    cfg, iq = _capture(20, rds=True)
+    p = _run(["0", "sr"], iq.tobytes())
+    assert p.returncode == 0, p.stderr.decode()
+    pcm = np.frombuffer(p.stdout, "<i2")
+    assert len(pcm) == 20 * cfg.audio_per_block * 2  # interleaved L/R
+    left = pcm[0::2][3 * cfg.audio_per_block:] / 16384.0
+    t = np.arange(len(left)) / cfg.audio_fs
+    p800 = np.abs(left @ np.exp(-2j * np.pi * 800.0 * t)) / len(left)
+    p2400 = np.abs(left @ np.exp(-2j * np.pi * 2400.0 * t)) / len(left)
+    assert p800 > 3 * p2400
+    err = p.stderr.decode()
+    assert "PI=BEEF" in err, err
+
+
 def test_cli_chunked_dispatch_identical_and_stdout_clean():
     """--chunk N must produce byte-identical PCM, and stdout must stay a
     pure PCM pipe even with RDS console output enabled (constraints pdf
