@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _T = 128       # output tile (lanes)
-_BC = 8        # channel rows per grid cell
+_BC = 8        # channel rows per grid cell (M-dim of the dot = BC*J;
+#                BC=16 exceeds the 16 MB VMEM scoped limit)
 
 
 @functools.cache
@@ -76,6 +77,10 @@ def _hg_plan(k: int, decim: int):
 
 def _kernel(x20_ref, tailph_ref, prev_ref, hg_ref, fm_ref, last_ref,
             row_s, pg_s, *, decim: int, n_out: int, mm_dtype):
+    """Window scratch lives in ``mm_dtype``: for bf16 serving this halves
+    the relayout traffic at zero quality cost — the u8-derived samples
+    (x-128)/128 are integers/128, exactly representable in bf16's 8-bit
+    mantissa, and the dot consumes bf16 anyway."""
     """One channel tile: u8 phases -> fm.  Shapes (phase dims LEADING so
     every per-phase access is a slab select, never an offset-layout
     slice — Mosaic miscompiles/rejects those):
@@ -94,8 +99,8 @@ def _kernel(x20_ref, tailph_ref, prev_ref, hg_ref, fm_ref, last_ref,
             # u8 -> i32 -> f32: Mosaic has no direct u8->f32 cast
             xr = x20_ref[2 * r + leg].astype(jnp.int32).astype(jnp.float32)
             xr = (xr - 128.0) * jnp.float32(1.0 / 128.0)
-            row_s[:, :_T] = tailph_ref[leg, r]
-            row_s[:, _T:] = xr
+            row_s[:, :_T] = tailph_ref[leg, r].astype(mm_dtype)
+            row_s[:, _T:] = xr.astype(mm_dtype)
             row = row_s[:]
             a = row[:, :j_tiles * _T].reshape(bc, j_tiles, _T)
             b = row[:, _T:].reshape(bc, j_tiles, _T)
@@ -107,7 +112,7 @@ def _kernel(x20_ref, tailph_ref, prev_ref, hg_ref, fm_ref, last_ref,
         # on the MXU); bf16 is the production-serving config
         prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
-        y = jnp.dot(pg.astype(mm_dtype), hg_ref[:].astype(mm_dtype),
+        y = jnp.dot(pg, hg_ref[:].astype(mm_dtype),
                     preferred_element_type=jnp.float32, precision=prec)
         legs.append(y.reshape(bc, n_out))
 
@@ -195,8 +200,8 @@ def fused_frontend(iq_u8: Array, h: Array, iq_tail: Array, prev_i: Array,
             jax.ShapeDtypeStruct((c_pad, _T), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_BC, _T + n_out), jnp.float32),
-            pltpu.VMEM((_BC, n_out // _T, decim * 2 * _T), jnp.float32),
+            pltpu.VMEM((_BC, _T + n_out), mm_dtype),
+            pltpu.VMEM((_BC, n_out // _T, decim * 2 * _T), mm_dtype),
         ],
         interpret=interpret,
     )(x20, tailph, prev, hg)
