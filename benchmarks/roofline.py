@@ -49,7 +49,11 @@ def peak_for(device) -> float:
 
 
 def bench_scan(body, carry0, xs, repeats=5):
-    """Best wall-clock of a jitted lax.scan over the leading axis of xs."""
+    """Wall-clock per run of a jitted lax.scan over the leading axis of
+    xs.  Chains ``repeats`` dependent dispatches (via the carry) and
+    forces ONE tiny host fetch at the end: through the axon tunnel
+    ``jax.block_until_ready`` returns before remote execution finishes,
+    so only a data fetch is a real synchronisation point."""
     @jax.jit
     def run(c0, xs):
         def f(c, x):
@@ -57,29 +61,29 @@ def bench_scan(body, carry0, xs, repeats=5):
             return c2, jax.tree.map(lambda a: a[..., :1], y)
         return lax.scan(f, c0, xs)
 
-    out = run(carry0, xs)
-    jax.block_until_ready(out)
-    ts = []
+    c, out = run(carry0, xs)
+    np.asarray(jax.tree.leaves(out)[0][..., :1])
+    t0 = time.perf_counter()
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = run(carry0, xs)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        c, out = run(c, xs)
+    np.asarray(jax.tree.leaves(out)[0][..., :1])
+    return (time.perf_counter() - t0) / repeats
 
 
 def measure_dispatch_floor(repeats: int = 5) -> float:
-    """Fixed per-call latency (jit dispatch + axon tunnel round trip) —
-    subtracted from every stage so the table reflects device time."""
+    """Fixed per-call overhead (jit dispatch + amortised tunnel fetch) —
+    subtracted from every stage so the table reflects device time.
+    Measured the same way as the stages (chained dispatches + one end
+    fetch) so it cancels the same costs."""
     x = jnp.ones((8,))
     f = jax.jit(lambda a: a * 2.0)
-    jax.block_until_ready(f(x))
-    ts = []
+    np.asarray(f(x))
+    t0 = time.perf_counter()
+    v = x
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        v = f(v)
+    np.asarray(v)
+    return (time.perf_counter() - t0) / repeats
 
 
 def main() -> None:
