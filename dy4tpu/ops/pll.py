@@ -121,7 +121,7 @@ def encode_sign(x: Array) -> Array:
 
 def phase_scan_coded(codes: Array, carry: tuple[Array, Array, Array], *,
                      freq, fs: float, norm_bandwidth,
-                     split_at: int, unroll: int = 32):
+                     split_at: int, unroll: int = 32, impl: str = "auto"):
     """Run the PLL phase recurrence over an int8 sign-code stream.
 
     ``codes``: [..., M]; ``carry``: (integrator, phase_est, angle), each
@@ -137,6 +137,17 @@ def phase_scan_coded(codes: Array, carry: tuple[Array, Array, Array], *,
     """
     dtype = carry[0].dtype
     kp, ki, dtheta = _loop_consts(freq, fs, norm_bandwidth, dtype)
+
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and dtype == jnp.float32 else "scan")
+    if impl == "pallas":
+        from dy4tpu.ops import pll_pallas  # deferred: optional path
+        mk = lambda kp_, ki_, dth_: _make_step(kp_, ki_, dth_, dtype)
+        return pll_pallas.phase_scan_coded(
+            codes, kp, ki, dtheta, carry, mk, split_at=split_at,
+            interpret=jax.default_backend() != "tpu")
+
     base = _make_step(kp, ki, dtheta, dtype)
 
     def step(c, code):
@@ -161,7 +172,7 @@ def phase_scan_coded(codes: Array, carry: tuple[Array, Array, Array], *,
 def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
         nco_scale=1.0, phase_adjust: float = 0.0,
         norm_bandwidth=0.01,
-        unroll: int = 32) -> tuple[Array, Array, PLLState]:
+        unroll: int = 32, impl: str = "auto") -> tuple[Array, Array, PLLState]:
     """Run the PLL over a block (algebraic fast path).
 
     ``pll_in``: [..., N]; state fields: [...].  Returns
@@ -180,6 +191,10 @@ def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
     vectorized, the NCO cos/sin are applied vectorized to the emitted phase
     sequence after the scan.  The recurrence itself is ~8 adds/multiplies on
     a [channels] vector per sample.
+
+    ``impl``: "scan" (XLA lax.scan), "pallas" (time-major TPU kernel,
+    ops/pll_pallas.py — bit-identical output, much faster at serving
+    batch), or "auto" (pallas on TPU, scan elsewhere).
     """
     dtype = pll_in.dtype
     # constants may be scalars or per-lane arrays broadcastable against the
@@ -189,15 +204,25 @@ def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
     scale = jnp.asarray(nco_scale, dtype)
     pi = dtype.type(jnp.pi)
 
-    x = jnp.moveaxis(pll_in, -1, 0)  # [N, ...] scan over time
-    target = jnp.where(x < 0, pi, dtype.type(0.0))
-    is_zero = x == 0.0  # model zero-input guard (fmMonoBlock.py:359-362)
-
-    step = _make_step(kp, ki, dtheta, dtype)
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and dtype == jnp.float32 else "scan")
     carry0 = (state.integrator, state.phase_est, state.angle)
-    (integ, pe, ang), phis = lax.scan(step, carry0, (target, is_zero),
-                                      unroll=unroll)
-    phis = jnp.moveaxis(phis, 0, -1)                   # [..., N]
+    if impl == "pallas":
+        from dy4tpu.ops import pll_pallas  # deferred: optional path
+        mk = lambda kp_, ki_, dth_: _make_step(kp_, ki_, dth_, dtype)
+        phis, (integ, pe, ang) = pll_pallas.phase_scan(
+            pll_in, kp, ki, dtheta, carry0, mk,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        x = jnp.moveaxis(pll_in, -1, 0)  # [N, ...] scan over time
+        target = jnp.where(x < 0, pi, dtype.type(0.0))
+        is_zero = x == 0.0  # zero-input guard (fmMonoBlock.py:359-362)
+
+        step = _make_step(kp, ki, dtheta, dtype)
+        (integ, pe, ang), phis = lax.scan(step, carry0, (target, is_zero),
+                                          unroll=unroll)
+        phis = jnp.moveaxis(phis, 0, -1)               # [..., N]
     out_arg = phis * scale[..., None] + dtype.type(phase_adjust)
     nco_i = jnp.cos(out_arg)
     nco_q = jnp.sin(out_arg)
