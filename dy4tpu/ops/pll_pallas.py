@@ -123,9 +123,12 @@ def _kernel(x_ref, kp_ref, ki_ref, dth_ref, carry_ref, phi_ref, mid_ref,
         out_ref[:] = carry_s[:]
 
 
-def _pick_chunk(n: int, align: int, target: int = 512) -> int:
+def _pick_chunk(n: int, align: int, s: int, target: int = 512) -> int:
     """Largest d <= target with d | n and d | align (so the split lands
-    on a chunk boundary)."""
+    on a chunk boundary), capped so the double-buffered in/out blocks fit
+    the ~16 MB VMEM scope (4 x chunk x s x 128 x 4B + carries)."""
+    budget = 12 * 1024 * 1024
+    target = min(target, max(1, budget // (4 * s * _LANES * 4)))
     g = math.gcd(n, align) if align else n
     best = 1
     for d in range(1, target + 1):
@@ -143,7 +146,7 @@ def _phase_scan_time_major(x_t: Array, kp: Array, ki: Array, dtheta: Array,
     carry when split_at is 0 or never reached)."""
     n, s, l = x_t.shape
     assert l == _LANES and s % _SUBLANES == 0, (s, l)
-    chunk = _pick_chunk(n, split_at)
+    chunk = _pick_chunk(n, split_at, s)
     split_idx = split_at // chunk if split_at else 0
     carry_arr = jnp.stack(carry)                        # [3, S, L]
 

@@ -42,6 +42,8 @@ class StationInfo:
     rt_segments: list = dataclasses.field(
         default_factory=lambda: [""] * 16)   # group 2A radiotext
     rt_flag: Optional[int] = None            # A/B text flag (clears on flip)
+    clock_time: Optional[tuple] = None       # group 4A CT:
+    #   (year, month, day, hour, minute, offset_half_hours)
     groups_seen: int = 0
 
     @property
@@ -59,6 +61,15 @@ class StationInfo:
         if all(self.ps_segments):
             return "".join(self.ps_segments)
         return None
+
+    @property
+    def clock_time_str(self) -> Optional[str]:
+        """4A clock-time as 'YYYY-MM-DD HH:MM UTC+H.H' (beyond the
+        reference's PI/PTY/PS-only application layer)."""
+        if self.clock_time is None:
+            return None
+        y, mo, d, h, mi, off = self.clock_time
+        return f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d} UTC{off / 2:+g}"
 
     @property
     def radiotext(self) -> Optional[str]:
@@ -107,6 +118,18 @@ class ApplicationLayer:
                     chars += chr((d >> 8) & 0xFF) + chr(d & 0xFF)
                 if len(chars) == 4:
                     info.rt_segments[seg] = chars
+            if info.group_type == 4 and info.version == "A":
+                c = group.blocks.get("C")
+                if c is not None and d is not None:
+                    from dy4tpu.rds.coding import mjd_to_ymd
+                    mjd = ((b & 0x3) << 15) | (c >> 1)
+                    hour = ((c & 1) << 4) | ((d >> 12) & 0xF)
+                    minute = (d >> 6) & 0x3F
+                    off = d & 0x1F
+                    if (d >> 5) & 1:
+                        off = -off
+                    y, mo, day = mjd_to_ymd(mjd)
+                    info.clock_time = (y, mo, day, hour, minute, off)
         if self.verbose:
             # stderr: stdout must stay a clean PCM pipe (constraints pdf p.2)
             print(f"RDS group: PI={info.pi_hex} PTY={info.pty_name!r} "

@@ -183,6 +183,47 @@ def make_rt_bitstream(pi: int, pty: int, text: str,
     return bits
 
 
+def ymd_to_mjd(year: int, month: int, day: int) -> int:
+    """Modified Julian Day from a calendar date (RDS standard annex G)."""
+    l = 1 if month in (1, 2) else 0
+    return (14956 + day + int((year - 1900 - l) * 365.25)
+            + int((month + 1 + l * 12) * 30.6001))
+
+
+def mjd_to_ymd(mjd: int) -> tuple[int, int, int]:
+    """Calendar date from Modified Julian Day (RDS standard annex G)."""
+    yp = int((mjd - 15078.2) / 365.25)
+    mp = int((mjd - 14956.1 - int(yp * 365.25)) / 30.6001)
+    day = mjd - 14956 - int(yp * 365.25) - int(mp * 30.6001)
+    k = 1 if mp in (14, 15) else 0
+    return 1900 + yp + k, mp - 1 - k * 12, day
+
+
+def make_group_4a(pi: int, pty: int, mjd: int, hour: int, minute: int,
+                  offset_half_hours: int = 0, tp: int = 0) -> list[int]:
+    """One type-4A group (clock-time/date, beyond the reference's 0A-only
+    application layer): 17-bit MJD spans blocks B/C, UTC hour/minute and
+    the signed local-time offset (half-hours) sit in C/D."""
+    assert 0 <= mjd < (1 << 17) and 0 <= hour < 24 and 0 <= minute < 60
+    sign = 1 if offset_half_hours < 0 else 0
+    off = abs(offset_half_hours)
+    assert off < 32
+    block_a = pi
+    block_b = ((4 << 12)            # group type 4
+               | (0 << 11)          # version A
+               | (tp << 10)
+               | ((pty & 0x1F) << 5)
+               | ((mjd >> 15) & 0x3))
+    block_c = ((mjd & 0x7FFF) << 1) | ((hour >> 4) & 1)
+    block_d = ((hour & 0xF) << 12) | ((minute & 0x3F) << 6) \
+        | (sign << 5) | off
+    bits: list[int] = []
+    for msg, t in ((block_a, "A"), (block_b, "B"), (block_c, "C"),
+                   (block_d, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
 def differential_encode(bits) -> list[int]:
     """d_k = b_k xor d_{k-1} (inverse of the receiver's xor decode,
     fmMonoBlock.py:108-118)."""

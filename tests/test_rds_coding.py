@@ -158,3 +158,30 @@ def test_radiotext_ab_flag_clears():
     for g in fs.push(np.array(bits, np.int8)):
         app.process(g)
     assert app.info.radiotext == "NEW"
+
+
+def test_mjd_roundtrip():
+    """RDS annex-G MJD conversion round-trips across month/year edges."""
+    for ymd in [(2026, 8, 17), (2000, 2, 29), (1999, 12, 31), (2024, 1, 1),
+                (2030, 3, 1)]:
+        mjd = coding.ymd_to_mjd(*ymd)
+        assert coding.mjd_to_ymd(mjd) == ymd, (ymd, mjd)
+    assert coding.ymd_to_mjd(2026, 8, 17) == 61269  # known MJD anchor
+
+
+def test_clock_time_4a_roundtrip():
+    """4A group clock-time: encode -> frame sync -> application layer
+    (beyond-parity: the reference application layer stops at PS names)."""
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    mjd = coding.ymd_to_mjd(2026, 8, 17)
+    bits = (coding.make_group_4a(0x54A7, 10, mjd, 13, 37,
+                                 offset_half_hours=-9)
+            + coding.make_ps_bitstream(0x54A7, 10, "DY4TPU  "))
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(np.array(bits * 2, np.int8)):
+        app.process(g)
+    assert app.info.clock_time == (2026, 8, 17, 13, 37, -9)
+    assert app.info.clock_time_str == "2026-08-17 13:37 UTC-4.5"
