@@ -134,17 +134,20 @@ def main() -> None:
             k, (B, C, cfg.block_size), 0, 256, jnp.uint8))(key)
         jax.block_until_ready(iq_blk)
 
-        def fe_body(c, x):
-            tail, pi, pq = c
-            fm, tail2, pi2, pq2 = frontend_pallas.fused_frontend(
-                x, params.rf_coeff, tail, pi, pq, cfg.rf_decim)
-            return (tail2, pi2, pq2), fm
-        c0 = (jnp.zeros((C, 2, cfg.num_taps - 1)), jnp.zeros((C,)),
-              jnp.zeros((C,)))
-        dt = bench_scan(fe_body, c0, iq_blk)
-        b_min = B * C * (cfg.block_size * 1 + n_if * f32)
-        report("FUSED u8->fm (pallas)", dt, b_min,
-               flops=B * C * (2 * cfg.num_taps + 5) * n_if * 2)
+        for label, kern in (
+                ("FUSED u8->fm (raw)", frontend_pallas.fused_frontend_raw),
+                ("fused u8->fm (phase)", frontend_pallas.fused_frontend)):
+            def fe_body(c, x, kern=kern):
+                tail, pi, pq = c
+                fm, tail2, pi2, pq2 = kern(
+                    x, params.rf_coeff, tail, pi, pq, cfg.rf_decim)
+                return (tail2, pi2, pq2), fm
+            c0 = (jnp.zeros((C, 2, cfg.num_taps - 1)), jnp.zeros((C,)),
+                  jnp.zeros((C,)))
+            dt = bench_scan(fe_body, c0, iq_blk)
+            b_min = B * C * (cfg.block_size * 1 + n_if * f32)
+            report(label, dt, b_min,
+                   flops=B * C * (2 * cfg.num_taps + 5) * n_if * 2)
     except ImportError:
         pass
 

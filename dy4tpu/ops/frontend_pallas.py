@@ -9,22 +9,30 @@ deinterleaves, runs both decimating FIR legs as an on-MXU banded matmul
 built from VMEM patches, and demodulates — writing only the IF-rate
 ``fm`` stream (D*8x fewer output bytes than input bytes).
 
-Design (see /opt/skills/guides/pallas_guide.md):
+Two kernel formulations (see /opt/skills/guides/pallas_guide.md):
 
-* The raw u8 stream is pre-split OUTSIDE the kernel (cheap u8-rate XLA
-  transpose) into ``x20 [C, 2*D, N/D]`` — the 2*D interleave/decimation
-  phases — so every in-kernel slice is a full-lane row, never a strided
-  gather.
-* Output tile T=128 lanes.  For tile j, output m = j*T + t reads inputs
-  n = m*D - j' (j' < K): grouping the patch K-dim BY PHASE makes each
-  phase's contribution a pair of aligned reshapes of that phase row
-  (stride-T overlapping windows), so the patch tensor
-  ``Pg [BC, J, D*ceil] `` builds with 2 reshapes + 1 concat per phase —
-  no per-tap lane rotations (the bottleneck of the earlier VPU kernel,
-  ops/fir_pallas.py).
-* One ``jnp.dot`` per leg: ``[BC*J, W] x [W, T]`` with W = D*138 — MXU
-  M-dim is BC*J = 480, K = 1380, N = 128: fully tiled.
-* The demodulator is a handful of VPU ops on the [BC, M] result.
+* ``fused_frontend_raw`` (serving default, 1.9x the phase variant) —
+  consumes the interleaved u8 block DIRECTLY.  Both the I/Q
+  deinterleave and the decimation phases live in the banded matrix's
+  tap pattern: window position w carries tap j' of leg L iff
+  w = 2*(t*D - j') + w0 + L, i.e. sample parity selects the leg and the
+  stride -2 band selects the phase.  No u8 phase pre-split (measured
+  ~1.5 ms/block of pure XLA relayout at C=512) and no in-kernel
+  per-phase window assembly (the lane->sublane shuffles that bounded
+  the phase kernel): per output tile the window is ONE contiguous
+  [W = 2*T*D + w0]-sample slab of the raw stream, assembled with one
+  aligned bulk store + J small history copies.  The (x-128)/128
+  normalize folds into the matrix (/128) and a single scalar epilogue
+  subtract (the +128 offset times sum(h) — the discriminator is
+  scale-invariant but not offset-invariant).
+* ``fused_frontend`` ("fused-phase", kept for A/B) — pre-splits the u8
+  stream OUTSIDE the kernel (u8-rate XLA transpose) into the 2*D
+  interleave/decimation phases ``x20 [C, 2*D, N/D]``; each phase's
+  window is a pair of aligned reshapes of that phase row, grouped into
+  ``Pg [BC, J, D*2T]`` patches.
+* Either way: one ``jnp.dot`` per leg on the MXU (M-dim BC*J, K ~1-3k,
+  N = 128 output tile), then the demodulator as a handful of VPU ops on
+  the [BC, M] result.
 
 Numerics: accumulation order differs from the conv/matmul XLA paths, so
 outputs agree to fp32 tolerance (pinned in tests/test_frontend_pallas.py),
@@ -76,31 +84,38 @@ def _hg_plan(k: int, decim: int):
 
 
 def _kernel(x20_ref, tailph_ref, prev_ref, hg_ref, fm_ref, last_ref,
-            row_s, pg_s, *, decim: int, n_out: int, mm_dtype):
-    """Window scratch lives in ``mm_dtype``: for bf16 serving this halves
+            row_s, pg_s, xf_s, *, decim: int, n_out: int, mm_dtype):
+    """One channel tile: u8 phases -> fm.
+
+    Window scratch lives in ``mm_dtype``: for bf16 serving this halves
     the relayout traffic at zero quality cost — the u8-derived samples
     (x-128)/128 are integers/128, exactly representable in bf16's 8-bit
-    mantissa, and the dot consumes bf16 anyway."""
-    """One channel tile: u8 phases -> fm.  Shapes (phase dims LEADING so
+    mantissa, and the dot consumes bf16 anyway.
+
+    Shapes (phase dims LEADING so
     every per-phase access is a slab select, never an offset-layout
     slice — Mosaic miscompiles/rejects those):
     x20 [2D, BC, M], tailph [2, D, BC, T] (tail right-aligned in the
     lane tile), prev [BC, T] (prev_i/prev_q in lanes 0/1),
     hg [D*2T, T], fm [BC, M], last [BC, T].
-    Scratch: row_s [BC, T+M] f32, pg_s [BC, J, D*2T] f32 — windows are
-    assembled with 128-aligned ref stores."""
+    Scratch: row_s [BC, T+M], pg_s [BC, J, D*2T], xf_s [2D, BC, M] (all
+    mm_dtype) — windows are assembled with 128-aligned ref stores."""
     bc = fm_ref.shape[0]
     j_tiles = n_out // _T
     lane = jax.lax.broadcasted_iota(jnp.int32, (bc, n_out), 1)
 
+    # normalize the WHOLE u8 block into mm_dtype scratch in one
+    # vectorized pass: per-phase u8 row loads would read 8-sublane slabs
+    # out of (32,128)-tiled int8 memory, which Mosaic lowers poorly
+    # (u8 -> i32 -> f32: no direct u8->f32 cast)
+    xf = x20_ref[:].astype(jnp.int32).astype(jnp.float32)
+    xf_s[:] = ((xf - 128.0) * jnp.float32(1.0 / 128.0)).astype(mm_dtype)
+
     legs = []
     for leg in range(2):
         for r in range(decim):
-            # u8 -> i32 -> f32: Mosaic has no direct u8->f32 cast
-            xr = x20_ref[2 * r + leg].astype(jnp.int32).astype(jnp.float32)
-            xr = (xr - 128.0) * jnp.float32(1.0 / 128.0)
             row_s[:, :_T] = tailph_ref[leg, r].astype(mm_dtype)
-            row_s[:, _T:] = xr.astype(mm_dtype)
+            row_s[:, _T:] = xf_s[2 * r + leg]
             row = row_s[:]
             a = row[:, :j_tiles * _T].reshape(bc, j_tiles, _T)
             b = row[:, _T:].reshape(bc, j_tiles, _T)
@@ -135,6 +150,166 @@ def _kernel(x20_ref, tailph_ref, prev_ref, hg_ref, fm_ref, last_ref,
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (bc, _T), 1)
     last_ref[:] = jnp.where(lane_t == 0, last_i,
                             jnp.where(lane_t == 1, last_q, 0.0))
+
+
+@functools.cache
+def _hraw_plan(k: int, decim: int, w0: int):
+    """Raw-stream banded matrices Hraw [2, W, T] (legs I/Q), W = 2*T*D + w0.
+
+    The kernel's per-tile window is W raw interleaved samples starting at
+    ext index 2*T*D*j (ext = [w0-lane history slab || raw block]), so the
+    deinterleave AND the decimation phases live entirely in the tap
+    pattern: window position w carries tap j' of leg L iff
+    w = 2*(t*D - j') + w0 + L, i.e. parity selects the leg and the stride
+    -2 band selects the phase — no per-phase relayout at all.
+    """
+    w = np.arange(2 * _T * decim + w0)[None, :, None]
+    t = np.arange(_T)[None, None, :]
+    leg = np.arange(2)[:, None, None]
+    num = w0 + leg - w
+    jp = t * decim + num // 2
+    mask = (num % 2 == 0) & (jp >= 0) & (jp <= k - 1)
+    idx = np.where(mask, jp, 0).astype(np.int32)
+    return idx, mask.astype(np.float32)
+
+
+def _kernel_raw(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
+                last_ref, ext_s, pg_s, *, decim: int, n_out: int, w0: int,
+                mm_dtype):
+    """Raw-stream channel tile: x [BC, bs] u8, tail [BC, w0] (raw scale,
+    right-aligned), hr [2, W, T], prev [BC, T] -> fm [BC, M], last.
+    Scratch: ext_s [BC, w0+bs] mm (history ++ raw block), pg_s
+    [BC, J, W] mm (per-tile windows: one aligned bulk store for the
+    stride part + J tiny W0-slab copies for the overhang)."""
+    bc = fm_ref.shape[0]
+    stride = 2 * _T * decim
+    wlen = stride + w0
+    j_tiles = n_out // _T
+    bs = j_tiles * stride
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bc, n_out), 1)
+
+    # one vectorized u8 -> mm_dtype pass; raw integer values are exact in
+    # bf16 (8-bit mantissa covers 0..255) so the (x-128)/128 normalize
+    # folds into the dot epilogue: y/128 - sum(h)
+    ext_s[:, :w0] = tail_ref[:].astype(mm_dtype)
+    ext_s[:, w0:] = (x_ref[:].astype(jnp.int32).astype(jnp.float32)
+                     .astype(mm_dtype))
+
+    pg_s[:, :, :stride] = ext_s[:, :bs].reshape(bc, j_tiles, stride)
+    for j in range(j_tiles):
+        pg_s[:, j, stride:] = ext_s[:, stride * (j + 1):
+                                    stride * (j + 1) + w0]
+    pg = pg_s[:].reshape(bc * j_tiles, wlen)
+    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    # remove the +128 offset BEFORE the demod: the discriminator is
+    # scale-invariant but not offset-invariant.  raw-dot y = true + sum_h.
+    sum_h = sumh_ref[0, 0]
+    legs = []
+    for leg in range(2):
+        y = jnp.dot(pg, hr_ref[leg].astype(mm_dtype),
+                    preferred_element_type=jnp.float32, precision=prec)
+        legs.append(y.reshape(bc, n_out) - sum_h)
+
+    i_ds, q_ds = legs
+    i_prev = jnp.where(lane == 0, prev_ref[:, 0:1],
+                       pltpu.roll(i_ds, 1, 1))
+    q_prev = jnp.where(lane == 0, prev_ref[:, 1:2],
+                       pltpu.roll(q_ds, 1, 1))
+    power = i_ds * i_ds + q_ds * q_ds
+    num = i_ds * (q_ds - q_prev) - q_ds * (i_ds - i_prev)
+    fm_ref[:] = jnp.where(power == 0, 0.0,
+                          num / jnp.where(power == 0, 1.0, power))
+    last_i = jnp.sum(jnp.where(lane == n_out - 1, i_ds, 0.0), axis=1,
+                     keepdims=True)
+    last_q = jnp.sum(jnp.where(lane == n_out - 1, q_ds, 0.0), axis=1,
+                     keepdims=True)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (bc, _T), 1)
+    last_ref[:] = jnp.where(lane_t == 0, last_i,
+                            jnp.where(lane_t == 1, last_q, 0.0))
+
+
+def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
+                       prev_i: Array, prev_q: Array, decim: int, *,
+                       mm_dtype=jnp.bfloat16,
+                       interpret: bool = False
+                       ) -> tuple[Array, Array, Array, Array]:
+    """Raw-stream variant of ``fused_frontend``: identical contract, but
+    the kernel consumes the interleaved u8 block directly — no phase
+    pre-split transpose at u8 rate (measured ~1.5 ms/block of pure XLA
+    relayout at C=512), and the normalize is folded into the dot
+    epilogue: raw u8 integers are bf16-exact, the /128 folds into Hraw,
+    and the remaining constant offset (raw-dot y = true + sum_h) is
+    subtracted in-kernel before the demod (the discriminator is
+    scale-invariant but not offset-invariant)."""
+    c, bs = iq_u8.shape
+    k = h.shape[0]
+    n_iq = bs // 2
+    n_out = n_iq // decim
+    assert n_out % _T == 0, (n_out, _T)
+    # channel rows per grid cell: the f32 scratch (ext_s + pg_s + the pg
+    # reshape temp) exceeds the 16 MB scoped-VMEM limit at 8 rows, so
+    # halve the tile for f32 (HIGHEST-precision) runs
+    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    w0 = -(-2 * (k - 1) // _T) * _T      # history slab, lane-aligned
+    stride = 2 * _T * decim
+    assert w0 <= stride, (w0, stride)
+    idx, mask = _hraw_plan(k, decim, w0)
+    # fold the /128 into Hraw so the epilogue is one subtract; sum_h must
+    # match the offset the dot ACTUALLY accumulates, i.e. the mm_dtype-
+    # rounded taps times the exact raw constant 128
+    hb = (h * jnp.float32(1.0 / 128.0)).astype(mm_dtype)
+    sum_h = 128.0 * jnp.sum(hb.astype(jnp.float32))
+    hr = h[idx] * jnp.asarray(mask) * jnp.float32(1.0 / 128.0)
+
+    # raw-scale tail, interleaved, right-aligned into the w0 slab
+    tail_raw = jnp.swapaxes(iq_tail, -1, -2).reshape(c, 2 * (k - 1))
+    tail_raw = tail_raw * 128.0 + 128.0
+    tail_raw = jnp.pad(tail_raw, ((0, 0), (w0 - 2 * (k - 1), 0)))
+    prev = jnp.stack([prev_i, prev_q], axis=-1)       # [C, 2]
+    prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))       # lanes 0/1 used
+
+    c_pad = -(-c // bc_rows) * bc_rows
+    if c_pad != c:
+        pc = c_pad - c
+        iq_u8 = jnp.pad(iq_u8, ((0, pc), (0, 0)))
+        tail_raw = jnp.pad(tail_raw, ((0, pc), (0, 0)))
+        prev = jnp.pad(prev, ((0, pc), (0, 0)))
+
+    kern = functools.partial(_kernel_raw, decim=decim, n_out=n_out,
+                             w0=w0, mm_dtype=mm_dtype)
+    wlen = stride + w0
+    fm, last = pl.pallas_call(
+        kern,
+        grid=(c_pad // bc_rows,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bc_rows, bs), lambda i: (i, 0)),
+            pl.BlockSpec((bc_rows, w0), lambda i: (i, 0)),
+            pl.BlockSpec((bc_rows, _T), lambda i: (i, 0)),
+            pl.BlockSpec((2, wlen, _T), lambda i: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bc_rows, n_out), lambda i: (i, 0)),
+            pl.BlockSpec((bc_rows, _T), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((c_pad, _T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bc_rows, w0 + bs), mm_dtype),
+            pltpu.VMEM((bc_rows, n_out // _T, wlen), mm_dtype),
+        ],
+        interpret=interpret,
+    )(sum_h.reshape(1, 1), iq_u8, tail_raw, prev, hr)
+    fm_t, last_t = fm[:c], last[:c]
+    tail_iq = iq_u8[:c, bs - 2 * (k - 1):].astype(jnp.float32)
+    tail_iq = (tail_iq - 128.0) / 128.0
+    new_tail = jnp.swapaxes(tail_iq.reshape(c, k - 1, 2), -1, -2)
+    return fm_t, new_tail, last_t[:, 0], last_t[:, 1]
 
 
 def fused_frontend(iq_u8: Array, h: Array, iq_tail: Array, prev_i: Array,
@@ -202,6 +377,7 @@ def fused_frontend(iq_u8: Array, h: Array, iq_tail: Array, prev_i: Array,
         scratch_shapes=[
             pltpu.VMEM((_BC, _T + n_out), mm_dtype),
             pltpu.VMEM((_BC, n_out // _T, decim * 2 * _T), mm_dtype),
+            pltpu.VMEM((2 * decim, _BC, n_out), mm_dtype),
         ],
         interpret=interpret,
     )(x20, tailph, prev, hg)

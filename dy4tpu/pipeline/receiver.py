@@ -167,10 +167,16 @@ def back_state_of(state: ReceiverState) -> BackState:
 
 
 def fused_frontend_ok(cfg: ModeConfig) -> bool:
-    """Geometry gate for the fused Pallas front end (128-lane output
-    tiles; tap count phase-aligned to the decimation)."""
+    """Geometry gate for the fused Pallas front ends (128-lane output
+    tiles; history slab within one tile stride)."""
     return (cfg.if_per_block % 128 == 0
-            and (cfg.num_taps - 1) % cfg.rf_decim == 0)
+            and 2 * (cfg.num_taps - 1) <= 2 * 128 * cfg.rf_decim)
+
+
+def fused_phase_frontend_ok(cfg: ModeConfig) -> bool:
+    """Extra gate for the phase-split kernel variant (kept for A/B):
+    tap count must additionally phase-align to the decimation."""
+    return fused_frontend_ok(cfg) and (cfg.num_taps - 1) % cfg.rf_decim == 0
 
 
 def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
@@ -181,26 +187,31 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
     half of the receiver (project.cpp:72-93 + fmMonoBlock.py:673-680).
 
     ``frontend``: "stock" (normalize + conv/matmul FIR + demod as three
-    XLA ops), "fused" (one Pallas VMEM pass, ops/frontend_pallas.py), or
-    "auto" (fused on TPU when the mode geometry fits).
+    XLA ops), "fused" (one raw-stream Pallas VMEM pass,
+    ops/frontend_pallas.py — deinterleave/decimation live in the banded
+    matrix's tap parity, no u8 phase transpose), "fused-phase" (the
+    earlier phase-pre-split kernel, kept for A/B), or "auto" (fused on
+    TPU when the mode geometry fits).
     """
     bs = cfg.block_size
     assert iq_u8.shape[-1] == bs, (iq_u8.shape, bs)
     if frontend == "auto":
         import os
         env = os.environ.get("DY4TPU_FRONTEND", "auto")
-        if env in ("stock", "fused"):
+        if env in ("stock", "fused", "fused-phase"):
             frontend = env
         else:
             frontend = ("fused" if jax.default_backend() == "tpu"
                         and fused_frontend_ok(cfg) else "stock")
 
-    if frontend == "fused":
+    if frontend in ("fused", "fused-phase"):
         from dy4tpu.ops import frontend_pallas
+        kernel = (frontend_pallas.fused_frontend_raw if frontend == "fused"
+                  else frontend_pallas.fused_frontend)
         mm = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
               else jnp.bfloat16)
         batch = iq_u8.shape[:-1]
-        fm, iq_tail, prev_i, prev_q = frontend_pallas.fused_frontend(
+        fm, iq_tail, prev_i, prev_q = kernel(
             iq_u8.reshape(-1, bs), params.rf_coeff,
             fstate.rf.iq_tail.reshape((-1,) + fstate.rf.iq_tail.shape[len(batch):]),
             fstate.rf.prev_i.reshape(-1), fstate.rf.prev_q.reshape(-1),

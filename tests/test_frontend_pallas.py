@@ -60,23 +60,85 @@ def test_fused_frontend_matches_stock_two_blocks():
         tail, pi, pq = ref_tail, ref_pi, ref_pq
 
 
-def test_front_step_fused_flag_cpu_interpret(monkeypatch):
-    """front_step(frontend="fused") wires the kernel correctly (state
+@pytest.mark.parametrize("mode", [0, 1])  # decim 10 and 5: distinct
+#   tap-parity band plans (_hraw_plan) and output widths
+def test_fused_frontend_raw_matches_stock_two_blocks(mode):
+    """Raw-stream kernel variant: deinterleave/decimation in the tap
+    parity, normalize folded into the dot.  fm compared power-masked —
+    the /power demod amplifies fp noise at near-zero-power samples of
+    the random input (real FM is constant-envelope)."""
+    cfg = get_mode(mode)
+    rng = np.random.default_rng(2)
+    c = 3
+    params = receiver.make_params(cfg)
+    h = params.rf_coeff
+    tail = jnp.asarray(rng.standard_normal((c, 2, cfg.num_taps - 1))
+                       .astype(np.float32) * 0.1)
+    pi = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    pq = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+
+    def stock(iq_u8, h, tail, pi, pq):
+        x = (iq_u8.astype(jnp.float32) - 128.0) / 128.0
+        iq = jnp.moveaxis(x.reshape(*x.shape[:-1], -1, 2), -1, -2)
+        iq_ds, tail2 = fir.block_fir_decim(iq, h, tail, cfg.rf_decim,
+                                           precision=lax.Precision.HIGHEST)
+        fm, pi2, pq2 = demod.fm_demod_diff(iq_ds[..., 0, :],
+                                           iq_ds[..., 1, :], pi, pq)
+        return fm, tail2, pi2, pq2
+
+    tail_f, pi_f, pq_f = tail, pi, pq
+    for _ in range(2):
+        blk = jnp.asarray(rng.integers(0, 256, (c, cfg.block_size),
+                                       dtype=np.uint8))
+        ref_fm, ref_tail, ref_pi, ref_pq = stock(blk, h, tail, pi, pq)
+        fm, tail_f, pi_f, pq_f = frontend_pallas.fused_frontend_raw(
+            blk, h, tail_f, pi_f, pq_f, cfg.rf_decim,
+            mm_dtype=jnp.float32, interpret=True)
+        x = (blk.astype(jnp.float32) - 128.0) / 128.0
+        iq = jnp.moveaxis(x.reshape(c, -1, 2), -1, -2)
+        iq_ds, _ = fir.block_fir_decim(iq, h, tail, cfg.rf_decim,
+                                       precision=lax.Precision.HIGHEST)
+        power = np.asarray(iq_ds[..., 0, :] ** 2 + iq_ds[..., 1, :] ** 2)
+        err = np.abs(np.asarray(fm) - np.asarray(ref_fm))
+        assert err[power > 1e-3].max() < 1e-3
+        np.testing.assert_allclose(np.asarray(tail_f), np.asarray(ref_tail),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(pi_f), np.asarray(ref_pi),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pq_f), np.asarray(ref_pq),
+                                   atol=1e-5)
+        tail, pi, pq = ref_tail, ref_pi, ref_pq
+
+
+@pytest.mark.parametrize("variant", ["fused", "fused-phase"])
+def test_front_step_fused_flag_cpu_interpret(monkeypatch, variant):
+    """front_step(frontend=...) wires the kernels correctly (state
     shapes, batch flattening) — interpreter mode via monkeypatch."""
     import functools
-    orig = frontend_pallas.fused_frontend
     monkeypatch.setattr(frontend_pallas, "fused_frontend",
-                        functools.partial(orig, interpret=True))
-    rng = np.random.default_rng(1)
+                        functools.partial(frontend_pallas.fused_frontend,
+                                          interpret=True))
+    monkeypatch.setattr(
+        frontend_pallas, "fused_frontend_raw",
+        functools.partial(frontend_pallas.fused_frontend_raw,
+                          interpret=True))
+    from dy4tpu.tx import fm as txfm
     params = receiver.make_params(cfg)
     state = receiver.init_state(cfg, batch=(2,))
-    blk = jnp.asarray(rng.integers(0, 256, (2, cfg.block_size),
-                                   dtype=np.uint8))
+    # constant-envelope broadcast input: on pure noise the demod's
+    # /power amplifies fp differences at near-zero-power samples
+    base = txfm.synthesize(
+        cfg, 1, left=txfm.tone(800.0, cfg.audio_fs, cfg.audio_per_block,
+                               amp=0.7),
+        right=txfm.tone(2400.0, cfg.audio_fs, cfg.audio_per_block,
+                        amp=0.7))
+    blk = jnp.broadcast_to(jnp.asarray(base.reshape(cfg.block_size)),
+                           (2, cfg.block_size)) + jnp.uint8(0)
     fs = receiver.front_state_of(state)
     fs_stock, fo_stock = receiver.front_step(params, fs, blk, cfg,
                                              frontend="stock")
     fs_fused, fo_fused = receiver.front_step(params, fs, blk, cfg,
-                                             frontend="fused",
+                                             frontend=variant,
                                              precision=lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(fo_fused.pilot),
                                np.asarray(fo_stock.pilot), atol=2e-4)
@@ -86,6 +148,8 @@ def test_front_step_fused_flag_cpu_interpret(monkeypatch):
 
 def test_fused_geometry_gate():
     assert receiver.fused_frontend_ok(get_mode(0))
-    # gate must answer (not crash) for every mode
+    assert receiver.fused_phase_frontend_ok(get_mode(0))
+    # gates must answer (not crash) for every mode
     for m in (1, 2, 3):
         receiver.fused_frontend_ok(get_mode(m))
+        receiver.fused_phase_frontend_ok(get_mode(m))
