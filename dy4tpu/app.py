@@ -73,6 +73,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-native", action="store_true",
                    help="use pure-Python stream I/O instead of the native "
                         "runtime (ring buffers + I/O threads)")
+    p.add_argument("--audio-filter", choices=["reference", "kaiser"],
+                   default="reference",
+                   help="audio resampler design: reference Hann "
+                        "windowed-sinc (parity default) or Kaiser "
+                        "(beyond-parity, ~30 dB more alias rejection at "
+                        "the same tap count)")
     return p
 
 
@@ -99,7 +105,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     from dy4tpu.utils import checkpoint as ckpt
 
     stereo = path in ("stereo", "stereo_rds")
-    params = receiver.make_params(cfg, with_rds=want_rds)
+    params = receiver.make_params(cfg, with_rds=want_rds,
+                                  audio_filter=args.audio_filter)
     state = receiver.init_state(cfg, batch=(1,), with_rds=want_rds)
     block0 = 0
     decoder = RDSDecoder() if want_rds else None

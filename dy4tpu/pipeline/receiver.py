@@ -310,16 +310,23 @@ def back_step(params: ReceiverParams, bstate: BackState, fo: FrontOut,
                     bb_q=bb_q))
 
 
-def make_params(cfg: ModeConfig, with_rds: Optional[bool] = None
-                ) -> ReceiverParams:
+def make_params(cfg: ModeConfig, with_rds: Optional[bool] = None,
+                audio_filter: str = "reference") -> ReceiverParams:
     """Design all filters for a mode (host-side, run once).
 
     ``with_rds=False`` omits the RDS filters (and must be matched by the
-    same flag in ``init_state``/``receiver_step``)."""
+    same flag in ``init_state``/``receiver_step``).
+
+    ``audio_filter``: "reference" (default — the reference's Hann
+    windowed-sinc, src/filter.cpp:14-29) or "kaiser" (beyond-parity:
+    same geometry, ~30 dB more alias rejection; PARITY.md "Deliberate
+    deviations")."""
     if_fs = cfg.if_fs
     rf = firdes.lpf(cfg.rf_fs, cfg.rf_fc, cfg.num_taps)
-    audio = firdes.lpf(if_fs * cfg.audio_up, cfg.audio_fc, cfg.audio_taps,
-                       up_factor=cfg.audio_up)
+    audio_design = {"reference": firdes.lpf,
+                    "kaiser": firdes.lpf_kaiser}[audio_filter]
+    audio = audio_design(if_fs * cfg.audio_up, cfg.audio_fc, cfg.audio_taps,
+                         up_factor=cfg.audio_up)
     bank = [firdes.bpf(if_fs, cfg.pilot_fb, cfg.pilot_fe, cfg.num_taps),
             firdes.bpf(if_fs, cfg.stereo_fb, cfg.stereo_fe, cfg.num_taps)]
     carrier = rds_lpf = rrc = None
