@@ -402,10 +402,21 @@ def _cdr(bb_i: Array, bb_q: Array, state: CDRState, sps: int
     resync = ~state.found
     offset = jnp.where(resync, cand, state.offset)
 
-    base = jnp.arange(m, dtype=jnp.int32) * sps          # [m]
-    idx = offset[..., None] + base                        # [..., m]
-    sym_i = jnp.take_along_axis(bb_i, idx, axis=-1)
-    sym_q = jnp.take_along_axis(bb_q, idx, axis=-1)
+    # sample phase ``offset`` of every sps-group as a masked lane
+    # reduction over the trailing [m, sps] reshape: a take_along_axis
+    # with per-channel dynamic offsets lowers to a full gather (measured
+    # ~23 ms/48-block batch at C=512 — the largest back-end stage); the
+    # one-hot sum is pure VPU and picks the identical element (only a
+    # selected -0.0 can come out as +0.0, which ``symbols``' >=0 and
+    # ``lost``'s abs() cannot distinguish)
+    phase = jnp.arange(sps, dtype=jnp.int32)
+    onehot = (phase == offset[..., None])                 # [..., sps]
+    pick = lambda bb: jnp.sum(                            # noqa: E731
+        jnp.where(onehot[..., None, :],
+                  bb[..., : m * sps].reshape(*bb.shape[:-1], m, sps),
+                  0.0), axis=-1)
+    sym_i = pick(bb_i)
+    sym_q = pick(bb_q)
     symbols = (sym_i >= 0).astype(jnp.int8)
 
     thresh = 0.05
