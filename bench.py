@@ -22,9 +22,11 @@ Modes (env BENCH_MODE):
           reports scaling efficiency vs the plain sequential scan
           (BASELINE scaling protocol, VERDICT r1 item 2)
 
-Other knobs: BENCH_CHANNELS, BENCH_BLOCKS, BENCH_REPEATS,
-BENCH_PRECISION (default|high|highest), BENCH_VALIDATE=0 to skip the
-decode asserts (debug only).
+Other knobs: BENCH_RADIO_MODE (0-3: which reference mode's chain to
+bench — RDS validation applies to the RDS-capable modes 0/2),
+BENCH_CHANNELS, BENCH_BLOCKS, BENCH_REPEATS, BENCH_PRECISION
+(default|high|highest), BENCH_VALIDATE=0 to skip the decode asserts
+(debug only).
 """
 
 from __future__ import annotations
@@ -62,8 +64,10 @@ def _broadcast_blocks(cfg, n_blocks: int, channels: int):
     from dy4tpu.tx import fm
 
     n_audio = n_blocks * cfg.audio_per_block
-    bits = coding.make_ps_bitstream(PI_CODE, 10, PS_NAME,
-                                    repeats=max(2, n_blocks))
+    bits = None
+    if cfg.supports_rds:
+        bits = coding.make_ps_bitstream(PI_CODE, 10, PS_NAME,
+                                        repeats=max(2, n_blocks))
     base = fm.synthesize(
         cfg, n_blocks,
         left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.7),
@@ -85,11 +89,13 @@ def _broadcast_blocks(cfg, n_blocks: int, channels: int):
 
 
 def _validate(cfg, outs, n_blocks: int) -> None:
-    """Stereo separation + RDS PI/PS recovery on probe channel 0."""
+    """Stereo separation + (when the mode has RDS) PI/PS recovery on
+    probe channel 0."""
     from dy4tpu.rds.app import ApplicationLayer
     from dy4tpu.rds.decoder import RDSDecoder
 
-    mono, left, right, syms, resync = (np.asarray(o) for o in outs)
+    mono, left, right, syms, resync = (
+        np.asarray(o) if o is not None else None for o in outs)
     l = left[3:, 0].ravel()
     r = right[3:, 0].ravel()
     t = np.arange(len(l)) / cfg.audio_fs
@@ -99,6 +105,10 @@ def _validate(cfg, outs, n_blocks: int) -> None:
     assert sep_l > 15 and sep_r > 15, (
         f"stereo separation failed: L={sep_l:.1f} dB R={sep_r:.1f} dB")
 
+    if not cfg.supports_rds:
+        print(f"validated: sep L/R {sep_l:.1f}/{sep_r:.1f} dB "
+              f"(no RDS in this mode)", file=sys.stderr)
+        return
     app = ApplicationLayer()
     dec = RDSDecoder(on_group=app.process)
     for b in range(n_blocks):
@@ -114,7 +124,8 @@ def _validate(cfg, outs, n_blocks: int) -> None:
 
 
 def bench_chain() -> None:
-    cfg = get_mode(0)
+    radio_mode = int(os.environ.get("BENCH_RADIO_MODE", 0))
+    cfg = get_mode(radio_mode)
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     channels = int(os.environ.get("BENCH_CHANNELS", 512 if on_tpu else 2))
@@ -161,7 +172,7 @@ def bench_chain() -> None:
     msps = iq_samples / best / 1e6
     rt = msps * 1e6 / cfg.rf_fs  # x-real-time (stations decoded live)
     print(json.dumps({
-        "metric": "mode0_full_chain_iq_throughput_per_chip",
+        "metric": f"mode{radio_mode}_full_chain_iq_throughput_per_chip",
         "value": round(msps, 3),
         "unit": "MS/s",
         "vs_baseline": round(rt, 2),

@@ -1,0 +1,106 @@
+"""RDS group error rate vs channel noise (the BASELINE "RDS group BER"
+metric).
+
+Synthesizes a mode-0 stereo+RDS broadcast at increasing additive IQ
+noise, runs the full receiver chain, and reports per noise level:
+
+* symbol error rate — decoded CDR hard symbols vs the transmitted
+  bi-phase symbol stream (aligned by the known TX timing),
+* group recovery rate — CRC-valid groups decoded / groups transmitted,
+* PI correctness on the recovered groups.
+
+The reference has no quantitative equivalent (validated by ear on
+off-air captures, Final Report p.7 — its RDS lost sync at ~block 30 and
+never re-locked on a clean capture); this sweep is the measured decode
+margin of the TPU chain.
+
+Run:  python -m benchmarks.ber_sweep   (CPU ok: DY4TPU_PLATFORM=cpu)
+Env: BER_BLOCKS (default 32), BER_NOISE (comma list of amplitudes).
+"""
+
+import os
+
+from dy4tpu.utils import jaxenv
+jaxenv.setup()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dy4tpu.config import get_mode
+from dy4tpu.pipeline import receiver
+from dy4tpu.rds import coding
+from dy4tpu.rds.app import ApplicationLayer
+from dy4tpu.rds.decoder import RDSDecoder
+from dy4tpu.tx import fm
+
+PI = 0x54A7
+
+
+def run_level(cfg, params, n_blocks: int, noise: float, seed: int):
+    n_audio = n_blocks * cfg.audio_per_block
+    bits = coding.make_ps_bitstream(PI, 10, "BERSWEEP",
+                                    repeats=max(2, n_blocks))
+    iq = fm.synthesize(cfg, n_blocks,
+                       left=fm.tone(800.0, cfg.audio_fs, n_audio, 0.6),
+                       right=fm.tone(2400.0, cfg.audio_fs, n_audio, 0.6),
+                       rds_bits=bits, noise=noise, seed=seed)
+    state = receiver.init_state(cfg)
+    blocks = jnp.asarray(iq.reshape(n_blocks, cfg.block_size))
+    _, outs = jax.jit(lambda s, b: receiver.run_blocks(
+        params, s, b, cfg))(state, blocks)
+
+    syms = np.asarray(outs.rds_symbols)          # [B, spb]
+    resync = np.asarray(outs.rds_resync)
+
+    app = ApplicationLayer()
+    dec = RDSDecoder(on_group=app.process)
+    for b in range(n_blocks):
+        dec.push_block(syms[b], resync=bool(resync[b]))
+
+    # transmitted bi-phase symbol stream: exactly what the TX shaper
+    # modulates (tx/fm.py:33-46); decoded hard symbols are compared over
+    # the settled tail at the best alignment (the chain's group delay is
+    # a fixed but mode-dependent number of symbols) and either polarity
+    # (differential decoding makes polarity immaterial downstream)
+    halves = coding.manchester_halves(coding.differential_encode(bits))
+    tx_sym = (np.asarray(halves) > 0).astype(np.int8)
+    rx = syms.ravel()
+    start = 4 * cfg.rds_symbols_per_block     # skip lock-in
+    a = rx[start:]
+    best = 1.0
+    for lag in range(-160, 161):              # rx delayed vs tx by the
+        s = start - lag                       # chain's group delay
+        if s < 0:
+            continue
+        n = min(len(a), len(tx_sym) - s)
+        if n <= 100:
+            continue
+        b0 = tx_sym[s:s + n]
+        err = float(np.mean(a[:n] != b0))
+        best = min(best, err, 1.0 - err)
+    groups_tx = n_blocks * cfg.rds_symbols_per_block // (2 * 26 * 4)
+    ok_groups = sum(1 for g in dec.groups if g.pi == PI)
+    return best, ok_groups, groups_tx, app.info.pi_hex
+
+
+def main():
+    cfg = get_mode(0)
+    params = receiver.make_params(cfg)
+    n_blocks = int(os.environ.get("BER_BLOCKS", 32))
+    levels = [float(x) for x in os.environ.get(
+        "BER_NOISE", "0,0.2,0.4,0.5,0.6,0.8").split(",")]
+    print(f"mode 0, {n_blocks} blocks "
+          f"({n_blocks * cfg.rds_symbols_per_block // 2} data bits); "
+          f"noise = additive IQ amplitude vs unit FM envelope")
+    print(f"{'noise':>6s} {'~SNR dB':>8s} {'sym BER':>9s} "
+          f"{'groups ok/tx':>13s} {'PI':>6s}")
+    for nz in levels:
+        ber, ok, tx, pi = run_level(cfg, params, n_blocks, nz, seed=7)
+        snr = "inf" if nz == 0 else f"{20 * np.log10(1.0 / nz):.1f}"
+        print(f"{nz:6.2f} {snr:>8s} {ber:9.4f} {ok:6d}/{tx:<6d} "
+              f"{pi or '--':>6s}")
+
+
+if __name__ == "__main__":
+    main()
