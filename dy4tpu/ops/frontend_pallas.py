@@ -230,6 +230,161 @@ def _kernel_raw(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
                             jnp.where(lane_t == 1, last_q, 0.0))
 
 
+def _kernel_raw_pm(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
+                   last_ref, ext_s, pg_s, *, decim: int, n_out: int,
+                   w0: int, mm_dtype):
+    """Plane-major raw kernel: x [BC, bs/4] i32 (4 packed u8 samples per
+    word — bitcast outside), tail [BC, 4, w0/4] (raw scale, plane-major),
+    hr [2, W, T] with rows plane-major-permuted, prev [BC, T].
+
+    The u8->f32 widening of the v1 kernel crosses int8 (32,128) ->
+    f32 (8,128) tilings — a sublane-expansion relayout Mosaic lowers
+    poorly.  Here each of the 4 byte planes is extracted from the i32
+    words with shift/AND (native (8,128) ops, zero relayout) and
+    converted with the magic-number trick (OR exponent 2^23, bitcast,
+    subtract): integers 0..255 exactly.  The byte-plane permutation of
+    the window columns is absorbed into the banded matrix's row order —
+    a free trace-time reorder of Hraw.
+    """
+    bc = fm_ref.shape[0]
+    stride = 2 * _T * decim
+    wlen = stride + w0
+    s4, w04, wl4 = stride // 4, w0 // 4, wlen // 4
+    j_tiles = n_out // _T
+    bs4 = j_tiles * s4
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bc, n_out), 1)
+
+    # per-plane extraction, chunked along length so the i32/f32
+    # temporaries stay small (Mosaic stacks full-width temps otherwise)
+    tpc = max(d for d in range(1, 9) if j_tiles % d == 0)
+    n_chunks = j_tiles // tpc
+    cl = s4 * tpc
+    for b in range(4):
+        ext_s[:, b, :w04] = tail_ref[:, b].astype(mm_dtype)
+        for s in range(n_chunks):
+            x32 = x_ref[:, s * cl:(s + 1) * cl]
+            v = jax.lax.shift_right_logical(x32, 8 * b) & 0xFF
+            f = jax.lax.bitcast_convert_type(v | 0x4B000000, jnp.float32)
+            ext_s[:, b, w04 + s * cl:w04 + (s + 1) * cl] = (
+                f - jnp.float32(8388608.0)).astype(mm_dtype)
+        # plane b occupies lane range [b*wl4, (b+1)*wl4) of the window —
+        # contiguous 128-aligned lane slices, never a strided scatter
+        pg_s[:, :, b * wl4:b * wl4 + s4] = (
+            ext_s[:, b, :bs4].reshape(bc, j_tiles, s4))
+        for j in range(j_tiles):
+            pg_s[:, j, b * wl4 + s4:(b + 1) * wl4] = (
+                ext_s[:, b, s4 * (j + 1):s4 * (j + 1) + w04])
+
+    pg = pg_s[:].reshape(bc * j_tiles, wlen)
+    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    sum_h = sumh_ref[0, 0]
+    legs = []
+    for leg in range(2):
+        y = jnp.dot(pg, hr_ref[leg],
+                    preferred_element_type=jnp.float32, precision=prec)
+        legs.append(y.reshape(bc, n_out) - sum_h)
+
+    i_ds, q_ds = legs
+    i_prev = jnp.where(lane == 0, prev_ref[:, 0:1],
+                       pltpu.roll(i_ds, 1, 1))
+    q_prev = jnp.where(lane == 0, prev_ref[:, 1:2],
+                       pltpu.roll(q_ds, 1, 1))
+    power = i_ds * i_ds + q_ds * q_ds
+    num = i_ds * (q_ds - q_prev) - q_ds * (i_ds - i_prev)
+    fm_ref[:] = jnp.where(power == 0, 0.0,
+                          num / jnp.where(power == 0, 1.0, power))
+    last_i = jnp.sum(jnp.where(lane == n_out - 1, i_ds, 0.0), axis=1,
+                     keepdims=True)
+    last_q = jnp.sum(jnp.where(lane == n_out - 1, q_ds, 0.0), axis=1,
+                     keepdims=True)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (bc, _T), 1)
+    last_ref[:] = jnp.where(lane_t == 0, last_i,
+                            jnp.where(lane_t == 1, last_q, 0.0))
+
+
+def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
+                          prev_i: Array, prev_q: Array, decim: int, *,
+                          mm_dtype=jnp.bfloat16,
+                          interpret: bool = False
+                          ) -> tuple[Array, Array, Array, Array]:
+    """Plane-major raw-stream front end (see ``_kernel_raw_pm``): same
+    contract as ``fused_frontend_raw``, with the u8 block packed into
+    i32 words outside the kernel so the in-kernel conversion never
+    crosses the int8 memory tiling."""
+    c, bs = iq_u8.shape
+    k = h.shape[0]
+    n_out = bs // 2 // decim
+    assert n_out % _T == 0, (n_out, _T)
+    # history slab: multiple of 4*T so the per-plane slab w0/4 stays
+    # lane-aligned (128)
+    w0 = -(-2 * (k - 1) // (4 * _T)) * (4 * _T)
+    stride = 2 * _T * decim
+    assert w0 <= stride, (w0, stride)
+    idx, mask = _hraw_plan(k, decim, w0)
+    hb = (h * jnp.float32(1.0 / 128.0)).astype(mm_dtype)
+    sum_h = 128.0 * jnp.sum(hb.astype(jnp.float32))
+    hr = h[idx] * jnp.asarray(mask) * jnp.float32(1.0 / 128.0)
+    wlen = stride + w0
+    # plane-major row permutation: new row b*(W/4)+w4 <- old row 4*w4+b;
+    # pre-cast to mm_dtype so the kernel never materialises a cast temp
+    hr = (hr.reshape(2, wlen // 4, 4, _T)
+          .transpose(0, 2, 1, 3).reshape(2, wlen, _T).astype(mm_dtype))
+
+    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+
+    # raw-scale tail, interleaved then plane-major, right-aligned in w0
+    tail_raw = jnp.swapaxes(iq_tail, -1, -2).reshape(c, 2 * (k - 1))
+    tail_raw = tail_raw * 128.0 + 128.0
+    tail_raw = jnp.pad(tail_raw, ((0, 0), (w0 - 2 * (k - 1), 0)))
+    tail_pm = jnp.swapaxes(tail_raw.reshape(c, w0 // 4, 4), -1, -2)
+    prev = jnp.stack([prev_i, prev_q], axis=-1)
+    prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))
+
+    x32 = jax.lax.bitcast_convert_type(
+        iq_u8.reshape(c, bs // 4, 4), jnp.int32)
+
+    c_pad = -(-c // bc_rows) * bc_rows
+    if c_pad != c:
+        pc = c_pad - c
+        x32 = jnp.pad(x32, ((0, pc), (0, 0)))
+        tail_pm = jnp.pad(tail_pm, ((0, pc), (0, 0), (0, 0)))
+        prev = jnp.pad(prev, ((0, pc), (0, 0)))
+
+    kern = functools.partial(_kernel_raw_pm, decim=decim, n_out=n_out,
+                             w0=w0, mm_dtype=mm_dtype)
+    fm, last = pl.pallas_call(
+        kern,
+        grid=(c_pad // bc_rows,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bc_rows, bs // 4), lambda i: (i, 0)),
+            pl.BlockSpec((bc_rows, 4, w0 // 4), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bc_rows, _T), lambda i: (i, 0)),
+            pl.BlockSpec((2, wlen, _T), lambda i: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bc_rows, n_out), lambda i: (i, 0)),
+            pl.BlockSpec((bc_rows, _T), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((c_pad, _T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bc_rows, 4, (w0 + bs) // 4), mm_dtype),
+            pltpu.VMEM((bc_rows, n_out // _T, wlen), mm_dtype),
+        ],
+        interpret=interpret,
+    )(sum_h.reshape(1, 1), x32, tail_pm, prev, hr)
+    fm_t, last_t = fm[:c], last[:c]
+    tail_iq = iq_u8[:, bs - 2 * (k - 1):].astype(jnp.float32)
+    tail_iq = (tail_iq - 128.0) / 128.0
+    new_tail = jnp.swapaxes(tail_iq.reshape(c, k - 1, 2), -1, -2)
+    return fm_t, new_tail, last_t[:, 0], last_t[:, 1]
+
+
 def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
                        prev_i: Array, prev_q: Array, decim: int, *,
                        mm_dtype=jnp.bfloat16,

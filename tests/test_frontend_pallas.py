@@ -110,6 +110,44 @@ def test_fused_frontend_raw_matches_stock_two_blocks(mode):
         tail, pi, pq = ref_tail, ref_pi, ref_pq
 
 
+@pytest.mark.parametrize("mode", [0, 1])
+def test_fused_frontend_raw_pm_matches_raw(mode):
+    """Experimental plane-major raw kernel (i32-packed input, byte-plane
+    extraction, permuted Hraw): interpreter-mode equivalence with the
+    serving raw kernel — state legs exact, fm to fp32 tolerance
+    (different accumulation order from the row permutation)."""
+    cfg = get_mode(mode)
+    rng = np.random.default_rng(6)
+    c = 3
+    params = receiver.make_params(cfg)
+    h = params.rf_coeff
+    tail = jnp.asarray(rng.standard_normal((c, 2, cfg.num_taps - 1))
+                       .astype(np.float32) * 0.1)
+    pi = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    pq = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    blk = jnp.asarray(rng.integers(0, 256, (c, cfg.block_size),
+                                   dtype=np.uint8))
+    a = frontend_pallas.fused_frontend_raw(
+        blk, h, tail, pi, pq, cfg.rf_decim, mm_dtype=jnp.float32,
+        interpret=True)
+    b = frontend_pallas.fused_frontend_raw_pm(
+        blk, h, tail, pi, pq, cfg.rf_decim, mm_dtype=jnp.float32,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a[3]), np.asarray(b[3]),
+                               atol=1e-5)
+    # fm: compare where the demod's /power does not amplify fp noise
+    x = (blk.astype(jnp.float32) - 128.0) / 128.0
+    iq = jnp.moveaxis(x.reshape(c, -1, 2), -1, -2)
+    iq_ds, _ = fir.block_fir_decim(iq, h, tail, cfg.rf_decim,
+                                   precision=lax.Precision.HIGHEST)
+    power = np.asarray(iq_ds[..., 0, :] ** 2 + iq_ds[..., 1, :] ** 2)
+    err = np.abs(np.asarray(a[0]) - np.asarray(b[0]))
+    assert err[power > 1e-3].max() < 1e-3
+
+
 @pytest.mark.parametrize("variant", ["fused", "fused-phase"])
 def test_front_step_fused_flag_cpu_interpret(monkeypatch, variant):
     """front_step(frontend=...) wires the kernels correctly (state

@@ -79,3 +79,23 @@ def test_psdview_animate_frames_and_gif(tmp_path):
               "--out", gif])
     assert p.returncode == 0, p.stderr.decode()
     assert os.path.getsize(gif) > 10000
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("radio_mode", ["0", "1"])
+def test_bench_cli_smoke(radio_mode):
+    """bench.py (the driver-facing benchmark CLI) prints exactly one
+    JSON line for any BENCH_RADIO_MODE, on tiny CPU shapes."""
+    import json
+    import subprocess
+    env = {**ENV, "BENCH_RADIO_MODE": radio_mode, "BENCH_CHANNELS": "2",
+           "BENCH_BLOCKS": "2", "BENCH_REPEATS": "1", "BENCH_VALIDATE": "0"}
+    p = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                       cwd=REPO, env=env, timeout=600)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    lines = p.stdout.decode().strip().splitlines()
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert rec["metric"] == (f"mode{radio_mode}"
+                             "_full_chain_iq_throughput_per_chip")
+    assert rec["value"] > 0 and rec["unit"] == "MS/s"
