@@ -234,8 +234,9 @@ def _kernel_raw_pm(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
                    last_ref, ext_s, pg_s, *, decim: int, n_out: int,
                    w0: int, mm_dtype):
     """Plane-major raw kernel: x [BC, bs/4] i32 (4 packed u8 samples per
-    word — bitcast outside), tail [BC, 4, w0/4] (raw scale, plane-major),
-    hr [2, W, T] with rows plane-major-permuted, prev [BC, T].
+    word — bitcast outside),
+    hr [2, W, T] with rows plane-major-permuted, prev [BC, T];
+    tail [4, BC, w0/4] plane-leading.
 
     The u8->f32 widening of the v1 kernel crosses int8 (32,128) ->
     f32 (8,128) tilings — a sublane-expansion relayout Mosaic lowers
@@ -259,21 +260,25 @@ def _kernel_raw_pm(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
     tpc = max(d for d in range(1, 9) if j_tiles % d == 0)
     n_chunks = j_tiles // tpc
     cl = s4 * tpc
+    # plane axis LEADING everywhere (ext_s [4, BC, n4], tail [4, BC,
+    # w04]) so each per-plane access is a contiguous slab select —
+    # middle-dim indexing made Mosaic materialise whole-buffer copies
+    # (~20 MB of scoped-vmem temporaries)
     for b in range(4):
-        ext_s[:, b, :w04] = tail_ref[:, b].astype(mm_dtype)
+        ext_s[b, :, :w04] = tail_ref[b].astype(mm_dtype)
         for s in range(n_chunks):
             x32 = x_ref[:, s * cl:(s + 1) * cl]
             v = jax.lax.shift_right_logical(x32, 8 * b) & 0xFF
             f = jax.lax.bitcast_convert_type(v | 0x4B000000, jnp.float32)
-            ext_s[:, b, w04 + s * cl:w04 + (s + 1) * cl] = (
+            ext_s[b, :, w04 + s * cl:w04 + (s + 1) * cl] = (
                 f - jnp.float32(8388608.0)).astype(mm_dtype)
         # plane b occupies lane range [b*wl4, (b+1)*wl4) of the window —
         # contiguous 128-aligned lane slices, never a strided scatter
         pg_s[:, :, b * wl4:b * wl4 + s4] = (
-            ext_s[:, b, :bs4].reshape(bc, j_tiles, s4))
+            ext_s[b, :, :bs4].reshape(bc, j_tiles, s4))
         for j in range(j_tiles):
             pg_s[:, j, b * wl4 + s4:(b + 1) * wl4] = (
-                ext_s[:, b, s4 * (j + 1):s4 * (j + 1) + w04])
+                ext_s[b, :, s4 * (j + 1):s4 * (j + 1) + w04])
 
     pg = pg_s[:].reshape(bc * j_tiles, wlen)
     prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
@@ -311,7 +316,13 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
     """Plane-major raw-stream front end (see ``_kernel_raw_pm``): same
     contract as ``fused_frontend_raw``, with the u8 block packed into
     i32 words outside the kernel so the in-kernel conversion never
-    crosses the int8 memory tiling."""
+    crosses the int8 memory tiling.
+
+    EXPERIMENTAL — measured 3.2x slower than ``fused_frontend_raw``
+    (176.9 vs 55.7 ms at C=512 B=48 on v5e): the u8 widening it avoids
+    is not the serving kernel's bound (the banded dot is), and the
+    per-plane slab assembly costs more than it saves.  Kept with tests
+    as the record of that measurement; do not wire into front_step."""
     c, bs = iq_u8.shape
     k = h.shape[0]
     n_out = bs // 2 // decim
@@ -337,7 +348,7 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
     tail_raw = jnp.swapaxes(iq_tail, -1, -2).reshape(c, 2 * (k - 1))
     tail_raw = tail_raw * 128.0 + 128.0
     tail_raw = jnp.pad(tail_raw, ((0, 0), (w0 - 2 * (k - 1), 0)))
-    tail_pm = jnp.swapaxes(tail_raw.reshape(c, w0 // 4, 4), -1, -2)
+    tail_pm = jnp.transpose(tail_raw.reshape(c, w0 // 4, 4), (2, 0, 1))
     prev = jnp.stack([prev_i, prev_q], axis=-1)
     prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))
 
@@ -348,7 +359,7 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
     if c_pad != c:
         pc = c_pad - c
         x32 = jnp.pad(x32, ((0, pc), (0, 0)))
-        tail_pm = jnp.pad(tail_pm, ((0, pc), (0, 0), (0, 0)))
+        tail_pm = jnp.pad(tail_pm, ((0, 0), (0, pc), (0, 0)))
         prev = jnp.pad(prev, ((0, pc), (0, 0)))
 
     kern = functools.partial(_kernel_raw_pm, decim=decim, n_out=n_out,
@@ -360,7 +371,7 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((bc_rows, bs // 4), lambda i: (i, 0)),
-            pl.BlockSpec((bc_rows, 4, w0 // 4), lambda i: (i, 0, 0)),
+            pl.BlockSpec((4, bc_rows, w0 // 4), lambda i: (0, i, 0)),
             pl.BlockSpec((bc_rows, _T), lambda i: (i, 0)),
             pl.BlockSpec((2, wlen, _T), lambda i: (0, 0, 0)),
         ],
@@ -373,7 +384,7 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
             jax.ShapeDtypeStruct((c_pad, _T), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bc_rows, 4, (w0 + bs) // 4), mm_dtype),
+            pltpu.VMEM((4, bc_rows, (w0 + bs) // 4), mm_dtype),
             pltpu.VMEM((bc_rows, n_out // _T, wlen), mm_dtype),
         ],
         interpret=interpret,
