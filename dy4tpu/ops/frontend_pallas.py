@@ -478,6 +478,251 @@ def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
     return fm_t, new_tail, last_t[:, 0], last_t[:, 1]
 
 
+@functools.cache
+def _hb_plan(k: int):
+    """Decim-1 Toeplitz plan [2T, T] for the IF-rate band filters, with a
+    T-lane (128) history slab: window position w of tile j holds stream
+    sample jT + w - T, so Hb[w, t] = h[t + T - w] where valid."""
+    w = np.arange(2 * _T)[:, None]
+    t = np.arange(_T)[None, :]
+    jp = t + _T - w
+    mask = (jp >= 0) & (jp <= k - 1)
+    return np.where(mask, jp, 0).astype(np.int32), mask.astype(np.float32)
+
+
+def _kernel_front_full(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref,
+                       hb_ref, bank_hist_ref, fmdel_hist_ref, *args,
+                       decim: int, n_out: int, w0: int, delay: int,
+                       rds: bool, mm_dtype):
+    """Whole LTI front half in one VMEM pass: raw u8 -> fm (as in
+    ``_kernel_raw``) -> mono delay, pilot/stereo/RDS band bank,
+    squaring + carrier BPF, RDS delay — the fm/squared streams never
+    leave VMEM (they cost D*8x / D*8x the output bytes to round-trip).
+
+    Band/carrier filters are decim-1 Toeplitz dots over [2T]-windows of
+    the in-VMEM stream (``_hb_plan``); delays are static 128-aligned-
+    scratch slices at offset T - delay.  History slabs arrive
+    right-aligned in T lanes, derived from the SAME FrontState fields
+    the stock path carries (bank_tail/mono_delay/carrier_tail/
+    rds_delay), so the two paths stay state-interchangeable.
+    """
+    if rds:
+        (hc_ref, sq_hist_ref, rds_hist_ref,
+         fmd_ref, pilot_ref, stereo_ref, carrier_ref, rdsdel_ref,
+         last_ref, fm_last_ref, sq_last_ref, rds_last_ref,
+         ext_s, pg_s, bext_s, pgb_s, fmd_s, sqe_s, rdse_s) = args
+    else:
+        (fmd_ref, pilot_ref, stereo_ref, last_ref, fm_last_ref,
+         ext_s, pg_s, bext_s, pgb_s, fmd_s) = args
+
+    bc = fmd_ref.shape[0]
+    stride = 2 * _T * decim
+    wlen = stride + w0
+    j_tiles = n_out // _T
+    bs = j_tiles * stride
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bc, n_out), 1)
+    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    # ---- stage 1: raw u8 -> fm (identical math to _kernel_raw) ----
+    ext_s[:, :w0] = tail_ref[:].astype(mm_dtype)
+    ext_s[:, w0:] = (x_ref[:].astype(jnp.int32).astype(jnp.float32)
+                     .astype(mm_dtype))
+    pg_s[:, :, :stride] = ext_s[:, :bs].reshape(bc, j_tiles, stride)
+    for j in range(j_tiles):
+        pg_s[:, j, stride:] = ext_s[:, stride * (j + 1):
+                                    stride * (j + 1) + w0]
+    pg = pg_s[:].reshape(bc * j_tiles, wlen)
+    sum_h = sumh_ref[0, 0]
+    legs = []
+    for leg in range(2):
+        y = jnp.dot(pg, hr_ref[leg].astype(mm_dtype),
+                    preferred_element_type=jnp.float32, precision=prec)
+        legs.append(y.reshape(bc, n_out) - sum_h)
+    i_ds, q_ds = legs
+    i_prev = jnp.where(lane == 0, prev_ref[:, 0:1], pltpu.roll(i_ds, 1, 1))
+    q_prev = jnp.where(lane == 0, prev_ref[:, 1:2], pltpu.roll(q_ds, 1, 1))
+    power = i_ds * i_ds + q_ds * q_ds
+    num = i_ds * (q_ds - q_prev) - q_ds * (i_ds - i_prev)
+    fm = jnp.where(power == 0, 0.0, num / jnp.where(power == 0, 1.0,
+                                                    power))
+    last_i = jnp.sum(jnp.where(lane == n_out - 1, i_ds, 0.0), axis=1,
+                     keepdims=True)
+    last_q = jnp.sum(jnp.where(lane == n_out - 1, q_ds, 0.0), axis=1,
+                     keepdims=True)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (bc, _T), 1)
+    last_ref[:] = jnp.where(lane_t == 0, last_i,
+                            jnp.where(lane_t == 1, last_q, 0.0))
+
+    def band_windows(ext):
+        """[BC, T + n] ext stream -> [BC*J, 2T] tile windows."""
+        pgb_s[:, :, :_T] = ext[:, :n_out].reshape(bc, j_tiles, _T)
+        for j in range(j_tiles):
+            pgb_s[:, j, _T:] = ext[:, _T * j + _T:_T * j + 2 * _T]
+        return pgb_s[:].reshape(bc * j_tiles, 2 * _T)
+
+    # ---- stage 2: mono delay (exact f32 pass-through) ----
+    fmd_s[:, :_T] = fmdel_hist_ref[:]
+    fmd_s[:, _T:] = fm
+    fmd_ref[:] = fmd_s[:, _T - delay:_T - delay + n_out]
+    fm_last_ref[:] = fmd_s[:, n_out:]
+
+    # ---- stage 3: band bank over fm ----
+    bext_s[:, :_T] = bank_hist_ref[:].astype(mm_dtype)
+    bext_s[:, _T:] = fm.astype(mm_dtype)
+    pgb = band_windows(bext_s[:])
+    pilot_ref[:] = jnp.dot(pgb, hb_ref[0],
+                           preferred_element_type=jnp.float32,
+                           precision=prec).reshape(bc, n_out)
+    stereo_ref[:] = jnp.dot(pgb, hb_ref[1],
+                            preferred_element_type=jnp.float32,
+                            precision=prec).reshape(bc, n_out)
+    if not rds:
+        return
+
+    rds_band = jnp.dot(pgb, hb_ref[2],
+                       preferred_element_type=jnp.float32,
+                       precision=prec).reshape(bc, n_out)
+
+    # ---- stage 4: RDS delay + squaring + carrier BPF ----
+    rdse_s[:, :_T] = rds_hist_ref[:]
+    rdse_s[:, _T:] = rds_band
+    rdsdel_ref[:] = rdse_s[:, _T - delay:_T - delay + n_out]
+    rds_last_ref[:] = rdse_s[:, n_out:]
+
+    sq = rds_band * rds_band
+    sqe_s[:, :_T] = sq_hist_ref[:].astype(mm_dtype)
+    sqe_s[:, _T:] = sq.astype(mm_dtype)
+    sq_last_ref[:] = sq[:, n_out - _T:]
+    pgc = band_windows(sqe_s[:])
+    carrier_ref[:] = jnp.dot(pgc, hc_ref[0],
+                             preferred_element_type=jnp.float32,
+                             precision=prec).reshape(bc, n_out)
+
+
+def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
+                        h_carrier, iq_tail: Array, prev_i: Array,
+                        prev_q: Array, bank_tail: Array,
+                        mono_delay: Array, carrier_tail, rds_delay,
+                        decim: int, *, rds: bool,
+                        mm_dtype=jnp.bfloat16, interpret: bool = False):
+    """One-kernel LTI front half (see ``_kernel_front_full``).
+
+    Contract mirrors the stock ``front_step`` composition exactly
+    (fir.block_fir_decim + demod + mix.delay_block + fir.block_fir_bank
+    + squaring + carrier block_fir), consuming and producing the same
+    FrontState field values.  Returns
+    ``(fm_delayed, pilot, stereo, carrier|None, rds_delayed|None,
+    new_iq_tail, new_prev_i, new_prev_q, new_bank_tail, new_mono_delay,
+    new_carrier_tail|None, new_rds_delay|None)``.
+    """
+    c, bs = iq_u8.shape
+    k = h_rf.shape[0]
+    n_out = bs // 2 // decim
+    kb = h_bank.shape[-1]
+    delay = kb // 2
+    assert n_out % _T == 0 and n_out >= _T, (n_out, _T)
+    assert kb - 1 <= _T and delay <= _T, kb
+    w0 = -(-2 * (k - 1) // _T) * _T
+    stride = 2 * _T * decim
+    assert w0 <= stride, (w0, stride)
+    idx, mask = _hraw_plan(k, decim, w0)
+    hb_mm = (h_rf * jnp.float32(1.0 / 128.0)).astype(mm_dtype)
+    sum_h = 128.0 * jnp.sum(hb_mm.astype(jnp.float32))
+    hr = h_rf[idx] * jnp.asarray(mask) * jnp.float32(1.0 / 128.0)
+
+    bidx, bmask = _hb_plan(kb)
+    hb = (h_bank[..., bidx] * jnp.asarray(bmask)).astype(mm_dtype)
+    nb = hb.shape[0]
+    assert nb == (3 if rds else 2), (nb, rds)
+
+    tail_raw = jnp.swapaxes(iq_tail, -1, -2).reshape(c, 2 * (k - 1))
+    tail_raw = tail_raw * 128.0 + 128.0
+    tail_raw = jnp.pad(tail_raw, ((0, 0), (w0 - 2 * (k - 1), 0)))
+    prev = jnp.stack([prev_i, prev_q], axis=-1)
+    prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))
+
+    rpad = lambda a: jnp.pad(a, ((0, 0), (_T - a.shape[-1], 0)))  # noqa: E731
+    bank_hist = rpad(bank_tail[..., 0, :])
+    fmdel_hist = rpad(mono_delay)
+
+    ins = [sum_h.reshape(1, 1), iq_u8, tail_raw, prev, hr, hb,
+           bank_hist, fmdel_hist]
+    if rds:
+        hc = (h_carrier[None, bidx] * jnp.asarray(bmask)).astype(mm_dtype)
+        ins += [hc, rpad(carrier_tail), rpad(rds_delay)]
+
+    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    c_pad = -(-c // bc_rows) * bc_rows
+    if c_pad != c:
+        pc = c_pad - c
+        per_channel = {1, 2, 3, 6, 7} | ({9, 10} if rds else set())
+        ins = [jnp.pad(a, ((0, pc),) + ((0, 0),) * (a.ndim - 1))
+               if i in per_channel else a for i, a in enumerate(ins)]
+
+    kern = functools.partial(_kernel_front_full, decim=decim,
+                             n_out=n_out, w0=w0, delay=delay, rds=rds,
+                             mm_dtype=mm_dtype)
+    wlen = stride + w0
+    row = lambda: pl.BlockSpec((bc_rows, n_out), lambda i: (i, 0))  # noqa: E731
+    tile = lambda: pl.BlockSpec((bc_rows, _T), lambda i: (i, 0))  # noqa: E731
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)  # noqa: E731
+
+    in_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((bc_rows, bs), lambda i: (i, 0)),
+                pl.BlockSpec((bc_rows, w0), lambda i: (i, 0)),
+                tile(), full(hr), full(hb), tile(), tile()]
+    out_specs = [row(), row(), row()]
+    out_shape = [jax.ShapeDtypeStruct((c_pad, n_out), jnp.float32)
+                 for _ in range(3)]
+    if rds:
+        in_specs += [full(ins[8]), tile(), tile()]
+        out_specs += [row(), row()]
+        out_shape += [jax.ShapeDtypeStruct((c_pad, n_out), jnp.float32)
+                      for _ in range(2)]
+    out_specs += [tile(), tile()]
+    out_shape += [jax.ShapeDtypeStruct((c_pad, _T), jnp.float32)] * 2
+    if rds:
+        out_specs += [tile(), tile()]
+        out_shape += [jax.ShapeDtypeStruct((c_pad, _T), jnp.float32)] * 2
+
+    scratch = [pltpu.VMEM((bc_rows, w0 + bs), mm_dtype),
+               pltpu.VMEM((bc_rows, n_out // _T, wlen), mm_dtype),
+               pltpu.VMEM((bc_rows, _T + n_out), mm_dtype),
+               pltpu.VMEM((bc_rows, n_out // _T, 2 * _T), mm_dtype),
+               pltpu.VMEM((bc_rows, _T + n_out), jnp.float32)]
+    if rds:
+        scratch += [pltpu.VMEM((bc_rows, _T + n_out), mm_dtype),
+                    pltpu.VMEM((bc_rows, _T + n_out), jnp.float32)]
+
+    outs = pl.pallas_call(
+        kern, grid=(c_pad // bc_rows,), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch, interpret=interpret)(*ins)
+
+    outs = [o[:c] for o in outs]
+    if rds:
+        (fmd, pilot, stereo, carrier, rdsdel,
+         last, fm_last, sq_last, rds_last) = outs
+    else:
+        fmd, pilot, stereo, last, fm_last = outs
+        carrier = rdsdel = sq_last = rds_last = None
+
+    tail_iq = iq_u8[:, bs - 2 * (k - 1):].astype(jnp.float32)
+    tail_iq = (tail_iq - 128.0) / 128.0
+    new_tail = jnp.swapaxes(tail_iq.reshape(c, k - 1, 2), -1, -2)
+    nbk = bank_tail.shape[-2]
+    new_bank = jnp.broadcast_to(fm_last[:, _T - (kb - 1):][:, None, :],
+                                (c, nbk, kb - 1))
+    new_mono = fm_last[:, _T - delay:]
+    new_carrier = None if sq_last is None else sq_last[:, _T - (kb - 1):]
+    new_rdsdel = None if rds_last is None else rds_last[:, _T - delay:]
+    return (fmd, pilot, stereo, carrier, rdsdel, new_tail,
+            last[:, 0], last[:, 1], new_bank, new_mono, new_carrier,
+            new_rdsdel)
+
+
 def fused_frontend(iq_u8: Array, h: Array, iq_tail: Array, prev_i: Array,
                    prev_q: Array, decim: int, *,
                    mm_dtype=jnp.bfloat16,

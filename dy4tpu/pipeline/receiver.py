@@ -186,32 +186,70 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
     """RF front end + band bank + RDS carrier recovery filters — the LTI
     half of the receiver (project.cpp:72-93 + fmMonoBlock.py:673-680).
 
-    ``frontend``: "stock" (normalize + conv/matmul FIR + demod as three
-    XLA ops), "fused" (one raw-stream Pallas VMEM pass,
-    ops/frontend_pallas.py — deinterleave/decimation live in the banded
-    matrix's tap parity, no u8 phase transpose), "fused-phase" (the
-    earlier phase-pre-split kernel, kept for A/B), or "auto" (fused on
-    TPU when the mode geometry fits).
+    ``frontend``: "stock" (normalize + FIR + demod + delays/bank/carrier
+    as XLA ops), "fused" (the WHOLE front half as one Pallas VMEM pass —
+    raw u8 -> fm via the tap-parity banded matmul, then mono delay,
+    band bank, squaring, carrier BPF and RDS delay as decim-1 Toeplitz
+    dots on the in-VMEM streams; ops/frontend_pallas.py), "fused-rf"
+    (raw u8->fm kernel only, XLA for the rest — A/B), "fused-phase"
+    (the earlier phase-pre-split kernel — A/B), or "auto" (fused on TPU
+    when the mode geometry fits).
     """
     bs = cfg.block_size
     assert iq_u8.shape[-1] == bs, (iq_u8.shape, bs)
     if frontend == "auto":
         import os
         env = os.environ.get("DY4TPU_FRONTEND", "auto")
-        if env in ("stock", "fused", "fused-phase"):
+        if env in ("stock", "fused", "fused-rf", "fused-phase"):
             frontend = env
         else:
             frontend = ("fused" if jax.default_backend() == "tpu"
                         and fused_frontend_ok(cfg) else "stock")
 
-    if frontend in ("fused", "fused-phase"):
+    if frontend == "fused":
+        # whole LTI front half in ONE Pallas pass: raw u8 -> fm -> mono
+        # delay + band bank + squaring + carrier BPF + RDS delay — the
+        # fm and squared streams never round-trip HBM
         from dy4tpu.ops import frontend_pallas
-        kernel = (frontend_pallas.fused_frontend_raw if frontend == "fused"
-                  else frontend_pallas.fused_frontend)
         mm = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
               else jnp.bfloat16)
         batch = iq_u8.shape[:-1]
-        fm, iq_tail, prev_i, prev_q = kernel(
+        flat = lambda a: (None if a is None else  # noqa: E731
+                          a.reshape((-1,) + a.shape[len(batch):]))
+        unflat = lambda a: (None if a is None else  # noqa: E731
+                            a.reshape(batch + a.shape[1:]))
+        (fmd, pilot, stereo, carrier, rds_delayed, iq_tail, prev_i,
+         prev_q, bank_tail, mono_delay, carrier_tail, rds_delay) = (
+            frontend_pallas.fused_frontend_full(
+                iq_u8.reshape(-1, bs), params.rf_coeff,
+                params.bank_coeff, params.rds_carrier_coeff,
+                flat(fstate.rf.iq_tail), flat(fstate.rf.prev_i),
+                flat(fstate.rf.prev_q), flat(fstate.bank_tail),
+                flat(fstate.mono_delay), flat(fstate.carrier_tail),
+                flat(fstate.rds_delay), cfg.rf_decim,
+                rds=rds_enabled, mm_dtype=mm))
+        return (FrontState(
+                    rf=RFState(iq_tail=unflat(iq_tail),
+                               prev_i=prev_i.reshape(batch),
+                               prev_q=prev_q.reshape(batch)),
+                    mono_delay=unflat(mono_delay),
+                    bank_tail=unflat(bank_tail),
+                    carrier_tail=unflat(carrier_tail),
+                    rds_delay=unflat(rds_delay)),
+                FrontOut(fm_delayed=unflat(fmd), pilot=unflat(pilot),
+                         stereo_band=unflat(stereo),
+                         carrier=unflat(carrier),
+                         rds_delayed=unflat(rds_delayed)))
+
+    if frontend in ("fused-rf", "fused-phase"):
+        from dy4tpu.ops import frontend_pallas
+        kern = (frontend_pallas.fused_frontend_raw
+                if frontend == "fused-rf" else
+                frontend_pallas.fused_frontend)
+        mm = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
+              else jnp.bfloat16)
+        batch = iq_u8.shape[:-1]
+        fm, iq_tail, prev_i, prev_q = kern(
             iq_u8.reshape(-1, bs), params.rf_coeff,
             fstate.rf.iq_tail.reshape((-1,) + fstate.rf.iq_tail.shape[len(batch):]),
             fstate.rf.prev_i.reshape(-1), fstate.rf.prev_q.reshape(-1),

@@ -110,6 +110,102 @@ def test_fused_frontend_raw_matches_stock_two_blocks(mode):
         tail, pi, pq = ref_tail, ref_pi, ref_pq
 
 
+@pytest.mark.parametrize("mode,rds", [(0, True), (1, False)])
+def test_fused_frontend_full_matches_stock_stream(mode, rds):
+    """Full-front kernel (fm -> delays/bank/squaring/carrier in the same
+    VMEM pass) vs the stock front_step composition over a 2-block
+    broadcast stream, INCLUDING state interchange: the kernel's new
+    FrontState field values must keep feeding the stock path and vice
+    versa (same overlap-save semantics, fmMonoBlock.py:652-680)."""
+    from dy4tpu.rds import coding
+    from dy4tpu.tx import fm as txfm
+
+    cfg = get_mode(mode)
+    c = 2
+    params = receiver.make_params(cfg, with_rds=rds)
+    n_blocks = 2
+    n_audio = n_blocks * cfg.audio_per_block
+    bits = (coding.make_ps_bitstream(0x1234, 5, "FULLTEST", repeats=4)
+            if rds else None)
+    iq = txfm.synthesize(
+        cfg, n_blocks,
+        left=txfm.tone(800.0, cfg.audio_fs, n_audio, amp=0.7),
+        right=txfm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.7),
+        rds_bits=bits)
+    blocks = iq.reshape(n_blocks, cfg.block_size)
+    st = receiver.init_state(cfg, batch=(c,), with_rds=rds)
+    fs = receiver.front_state_of(st)
+    for it in range(n_blocks):
+        blk = (jnp.broadcast_to(jnp.asarray(blocks[it]),
+                                (c, cfg.block_size)) + jnp.uint8(0))
+        fs_ref, fo_ref = receiver.front_step(params, fs, blk, cfg,
+                                             frontend="stock",
+                                             rds_enabled=rds)
+        r = frontend_pallas.fused_frontend_full(
+            blk, params.rf_coeff, params.bank_coeff,
+            params.rds_carrier_coeff, fs.rf.iq_tail, fs.rf.prev_i,
+            fs.rf.prev_q, fs.bank_tail, fs.mono_delay, fs.carrier_tail,
+            fs.rds_delay, cfg.rf_decim, rds=rds, mm_dtype=jnp.float32,
+            interpret=True)
+        (fmd, pilot, stereo, carrier, rdsdel, ntail, npi, npq, nbank,
+         nmono, ncar, nrds) = r
+        checks = [(fmd, fo_ref.fm_delayed, 2e-3), (pilot, fo_ref.pilot, 1e-4),
+                  (stereo, fo_ref.stereo_band, 5e-4),
+                  (nbank, fs_ref.bank_tail, 2e-3),
+                  (nmono, fs_ref.mono_delay, 2e-3),
+                  (ntail, fs_ref.rf.iq_tail, 0.0)]
+        if rds:
+            checks += [(carrier, fo_ref.carrier, 1e-5),
+                       (rdsdel, fo_ref.rds_delayed, 1e-4),
+                       (ncar, fs_ref.carrier_tail, 1e-3),
+                       (nrds, fs_ref.rds_delay, 1e-4)]
+        else:
+            assert carrier is None and rdsdel is None
+            assert ncar is None and nrds is None
+        for a, b, tol in checks:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=max(tol, 1e-12))
+        # interchange: continue BOTH paths from the stock state
+        fs = fs_ref
+
+
+@pytest.mark.parametrize("k,decim", [(51, 4), (129, 8), (75, 3)])
+def test_fused_frontend_raw_geometry_fuzz(k, decim):
+    """Raw kernel across non-mode geometries (tap counts that do NOT
+    phase-align to the decimation, odd k, decim without a mode): the
+    tap-parity band plan must hold wherever the gate condition
+    2*(k-1) <= 2*128*decim does."""
+    rng = np.random.default_rng(k * decim)
+    c, n_out = 2, 256
+    bs = 2 * n_out * decim
+    h = rng.standard_normal(k).astype(np.float32) * 0.05
+    hj = jnp.asarray(h)
+    tail = jnp.asarray(rng.standard_normal((c, 2, k - 1))
+                       .astype(np.float32) * 0.1)
+    pi = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    pq = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    blk = jnp.asarray(rng.integers(0, 256, (c, bs), dtype=np.uint8))
+
+    x = (blk.astype(jnp.float32) - 128.0) / 128.0
+    iq = jnp.moveaxis(x.reshape(c, -1, 2), -1, -2)
+    iq_ds, ref_tail = fir.block_fir_decim(iq, hj, tail, decim,
+                                          precision=lax.Precision.HIGHEST)
+    ref_fm, ref_pi, ref_pq = demod.fm_demod_diff(
+        iq_ds[..., 0, :], iq_ds[..., 1, :], pi, pq)
+
+    fm, tail_f, pi_f, pq_f = frontend_pallas.fused_frontend_raw(
+        blk, hj, tail, pi, pq, decim, mm_dtype=jnp.float32,
+        interpret=True)
+    power = np.asarray(iq_ds[..., 0, :] ** 2 + iq_ds[..., 1, :] ** 2)
+    err = np.abs(np.asarray(fm) - np.asarray(ref_fm))
+    assert err[power > 1e-3].max() < 1e-3
+    np.testing.assert_array_equal(np.asarray(tail_f), np.asarray(ref_tail))
+    np.testing.assert_allclose(np.asarray(pi_f), np.asarray(ref_pi),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pq_f), np.asarray(ref_pq),
+                               atol=1e-5)
+
+
 @pytest.mark.parametrize("mode", [0, 1])
 def test_fused_frontend_raw_pm_matches_raw(mode):
     """Experimental plane-major raw kernel (i32-packed input, byte-plane
@@ -159,6 +255,10 @@ def test_front_step_fused_flag_cpu_interpret(monkeypatch, variant):
     monkeypatch.setattr(
         frontend_pallas, "fused_frontend_raw",
         functools.partial(frontend_pallas.fused_frontend_raw,
+                          interpret=True))
+    monkeypatch.setattr(
+        frontend_pallas, "fused_frontend_full",
+        functools.partial(frontend_pallas.fused_frontend_full,
                           interpret=True))
     from dy4tpu.tx import fm as txfm
     params = receiver.make_params(cfg)
