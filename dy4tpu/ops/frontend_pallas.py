@@ -152,6 +152,50 @@ def _kernel(x20_ref, tailph_ref, prev_ref, hg_ref, fm_ref, last_ref,
                             jnp.where(lane_t == 1, last_q, 0.0))
 
 
+def _demod_emit(i_ds, q_ds, prev_ref, last_ref, n_out: int):
+    """Shared FM-discriminator epilogue: one-sample delay via roll +
+    first-lane substitution from ``prev`` (lanes 0/1), /power guard, and
+    the carried last-decimated-I/Q tile emitted into ``last_ref``.
+    Returns the fm block."""
+    bc = i_ds.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bc, n_out), 1)
+    i_prev = jnp.where(lane == 0, prev_ref[:, 0:1], pltpu.roll(i_ds, 1, 1))
+    q_prev = jnp.where(lane == 0, prev_ref[:, 1:2], pltpu.roll(q_ds, 1, 1))
+    power = i_ds * i_ds + q_ds * q_ds
+    num = i_ds * (q_ds - q_prev) - q_ds * (i_ds - i_prev)
+    fm = jnp.where(power == 0, 0.0,
+                   num / jnp.where(power == 0, 1.0, power))
+    last_i = jnp.sum(jnp.where(lane == n_out - 1, i_ds, 0.0), axis=1,
+                     keepdims=True)
+    last_q = jnp.sum(jnp.where(lane == n_out - 1, q_ds, 0.0), axis=1,
+                     keepdims=True)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (bc, _T), 1)
+    last_ref[:] = jnp.where(lane_t == 0, last_i,
+                            jnp.where(lane_t == 1, last_q, 0.0))
+    return fm
+
+
+def _raw_tail_prev(iq_tail, prev_i, prev_q, k: int, w0: int):
+    """Wrapper-side prep shared by the raw-stream kernels: normalized
+    [C, 2, K-1] tail -> raw-scale interleaved [C, w0] (right-aligned),
+    and prev I/Q packed into lanes 0/1 of a [C, T] tile."""
+    c = iq_tail.shape[0]
+    tail_raw = jnp.swapaxes(iq_tail, -1, -2).reshape(c, 2 * (k - 1))
+    tail_raw = tail_raw * 128.0 + 128.0
+    tail_raw = jnp.pad(tail_raw, ((0, 0), (w0 - 2 * (k - 1), 0)))
+    prev = jnp.stack([prev_i, prev_q], axis=-1)
+    prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))
+    return tail_raw, prev
+
+
+def _new_iq_tail(iq_u8, k: int):
+    """Next block's normalized [C, 2, K-1] RF tail from the raw block."""
+    c, bs = iq_u8.shape
+    tail_iq = iq_u8[:, bs - 2 * (k - 1):].astype(jnp.float32)
+    tail_iq = (tail_iq - 128.0) / 128.0
+    return jnp.swapaxes(tail_iq.reshape(c, k - 1, 2), -1, -2)
+
+
 @functools.cache
 def _hraw_plan(k: int, decim: int, w0: int):
     """Raw-stream banded matrices Hraw [2, W, T] (legs I/Q), W = 2*T*D + w0.
@@ -208,26 +252,12 @@ def _kernel_raw(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
     sum_h = sumh_ref[0, 0]
     legs = []
     for leg in range(2):
-        y = jnp.dot(pg, hr_ref[leg].astype(mm_dtype),
+        y = jnp.dot(pg, hr_ref[leg],
                     preferred_element_type=jnp.float32, precision=prec)
         legs.append(y.reshape(bc, n_out) - sum_h)
 
     i_ds, q_ds = legs
-    i_prev = jnp.where(lane == 0, prev_ref[:, 0:1],
-                       pltpu.roll(i_ds, 1, 1))
-    q_prev = jnp.where(lane == 0, prev_ref[:, 1:2],
-                       pltpu.roll(q_ds, 1, 1))
-    power = i_ds * i_ds + q_ds * q_ds
-    num = i_ds * (q_ds - q_prev) - q_ds * (i_ds - i_prev)
-    fm_ref[:] = jnp.where(power == 0, 0.0,
-                          num / jnp.where(power == 0, 1.0, power))
-    last_i = jnp.sum(jnp.where(lane == n_out - 1, i_ds, 0.0), axis=1,
-                     keepdims=True)
-    last_q = jnp.sum(jnp.where(lane == n_out - 1, q_ds, 0.0), axis=1,
-                     keepdims=True)
-    lane_t = jax.lax.broadcasted_iota(jnp.int32, (bc, _T), 1)
-    last_ref[:] = jnp.where(lane_t == 0, last_i,
-                            jnp.where(lane_t == 1, last_q, 0.0))
+    fm_ref[:] = _demod_emit(i_ds, q_ds, prev_ref, last_ref, n_out)
 
 
 def _kernel_raw_pm(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
@@ -291,21 +321,7 @@ def _kernel_raw_pm(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
         legs.append(y.reshape(bc, n_out) - sum_h)
 
     i_ds, q_ds = legs
-    i_prev = jnp.where(lane == 0, prev_ref[:, 0:1],
-                       pltpu.roll(i_ds, 1, 1))
-    q_prev = jnp.where(lane == 0, prev_ref[:, 1:2],
-                       pltpu.roll(q_ds, 1, 1))
-    power = i_ds * i_ds + q_ds * q_ds
-    num = i_ds * (q_ds - q_prev) - q_ds * (i_ds - i_prev)
-    fm_ref[:] = jnp.where(power == 0, 0.0,
-                          num / jnp.where(power == 0, 1.0, power))
-    last_i = jnp.sum(jnp.where(lane == n_out - 1, i_ds, 0.0), axis=1,
-                     keepdims=True)
-    last_q = jnp.sum(jnp.where(lane == n_out - 1, q_ds, 0.0), axis=1,
-                     keepdims=True)
-    lane_t = jax.lax.broadcasted_iota(jnp.int32, (bc, _T), 1)
-    last_ref[:] = jnp.where(lane_t == 0, last_i,
-                            jnp.where(lane_t == 1, last_q, 0.0))
+    fm_ref[:] = _demod_emit(i_ds, q_ds, prev_ref, last_ref, n_out)
 
 
 def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
@@ -344,13 +360,8 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
 
     bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
 
-    # raw-scale tail, interleaved then plane-major, right-aligned in w0
-    tail_raw = jnp.swapaxes(iq_tail, -1, -2).reshape(c, 2 * (k - 1))
-    tail_raw = tail_raw * 128.0 + 128.0
-    tail_raw = jnp.pad(tail_raw, ((0, 0), (w0 - 2 * (k - 1), 0)))
+    tail_raw, prev = _raw_tail_prev(iq_tail, prev_i, prev_q, k, w0)
     tail_pm = jnp.transpose(tail_raw.reshape(c, w0 // 4, 4), (2, 0, 1))
-    prev = jnp.stack([prev_i, prev_q], axis=-1)
-    prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))
 
     x32 = jax.lax.bitcast_convert_type(
         iq_u8.reshape(c, bs // 4, 4), jnp.int32)
@@ -390,9 +401,7 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
         interpret=interpret,
     )(sum_h.reshape(1, 1), x32, tail_pm, prev, hr)
     fm_t, last_t = fm[:c], last[:c]
-    tail_iq = iq_u8[:, bs - 2 * (k - 1):].astype(jnp.float32)
-    tail_iq = (tail_iq - 128.0) / 128.0
-    new_tail = jnp.swapaxes(tail_iq.reshape(c, k - 1, 2), -1, -2)
+    new_tail = _new_iq_tail(iq_u8, k)
     return fm_t, new_tail, last_t[:, 0], last_t[:, 1]
 
 
@@ -427,14 +436,11 @@ def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
     # rounded taps times the exact raw constant 128
     hb = (h * jnp.float32(1.0 / 128.0)).astype(mm_dtype)
     sum_h = 128.0 * jnp.sum(hb.astype(jnp.float32))
-    hr = h[idx] * jnp.asarray(mask) * jnp.float32(1.0 / 128.0)
+    # pre-cast so the kernel never materialises a per-grid-step cast temp
+    hr = (h[idx] * jnp.asarray(mask)
+          * jnp.float32(1.0 / 128.0)).astype(mm_dtype)
 
-    # raw-scale tail, interleaved, right-aligned into the w0 slab
-    tail_raw = jnp.swapaxes(iq_tail, -1, -2).reshape(c, 2 * (k - 1))
-    tail_raw = tail_raw * 128.0 + 128.0
-    tail_raw = jnp.pad(tail_raw, ((0, 0), (w0 - 2 * (k - 1), 0)))
-    prev = jnp.stack([prev_i, prev_q], axis=-1)       # [C, 2]
-    prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))       # lanes 0/1 used
+    tail_raw, prev = _raw_tail_prev(iq_tail, prev_i, prev_q, k, w0)
 
     c_pad = -(-c // bc_rows) * bc_rows
     if c_pad != c:
@@ -472,9 +478,7 @@ def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
         interpret=interpret,
     )(sum_h.reshape(1, 1), iq_u8, tail_raw, prev, hr)
     fm_t, last_t = fm[:c], last[:c]
-    tail_iq = iq_u8[:c, bs - 2 * (k - 1):].astype(jnp.float32)
-    tail_iq = (tail_iq - 128.0) / 128.0
-    new_tail = jnp.swapaxes(tail_iq.reshape(c, k - 1, 2), -1, -2)
+    new_tail = _new_iq_tail(iq_u8[:c], k)
     return fm_t, new_tail, last_t[:, 0], last_t[:, 1]
 
 
@@ -536,23 +540,11 @@ def _kernel_front_full(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref,
     sum_h = sumh_ref[0, 0]
     legs = []
     for leg in range(2):
-        y = jnp.dot(pg, hr_ref[leg].astype(mm_dtype),
+        y = jnp.dot(pg, hr_ref[leg],
                     preferred_element_type=jnp.float32, precision=prec)
         legs.append(y.reshape(bc, n_out) - sum_h)
     i_ds, q_ds = legs
-    i_prev = jnp.where(lane == 0, prev_ref[:, 0:1], pltpu.roll(i_ds, 1, 1))
-    q_prev = jnp.where(lane == 0, prev_ref[:, 1:2], pltpu.roll(q_ds, 1, 1))
-    power = i_ds * i_ds + q_ds * q_ds
-    num = i_ds * (q_ds - q_prev) - q_ds * (i_ds - i_prev)
-    fm = jnp.where(power == 0, 0.0, num / jnp.where(power == 0, 1.0,
-                                                    power))
-    last_i = jnp.sum(jnp.where(lane == n_out - 1, i_ds, 0.0), axis=1,
-                     keepdims=True)
-    last_q = jnp.sum(jnp.where(lane == n_out - 1, q_ds, 0.0), axis=1,
-                     keepdims=True)
-    lane_t = jax.lax.broadcasted_iota(jnp.int32, (bc, _T), 1)
-    last_ref[:] = jnp.where(lane_t == 0, last_i,
-                            jnp.where(lane_t == 1, last_q, 0.0))
+    fm = _demod_emit(i_ds, q_ds, prev_ref, last_ref, n_out)
 
     def band_windows(ext):
         """[BC, T + n] ext stream -> [BC*J, 2T] tile windows."""
@@ -611,7 +603,11 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     Contract mirrors the stock ``front_step`` composition exactly
     (fir.block_fir_decim + demod + mix.delay_block + fir.block_fir_bank
     + squaring + carrier block_fir), consuming and producing the same
-    FrontState field values.  Returns
+    FrontState field values.  One narrowing vs block_fir_bank's
+    generality: all band filters read ``bank_tail[..., 0, :]`` as their
+    history — in the receiver the F tails are always identical copies of
+    the fm stream's last K-1 samples (fir.py:239-241); callers that
+    seed the rows DIFFERENTLY must use the stock path.  Returns
     ``(fm_delayed, pilot, stereo, carrier|None, rds_delayed|None,
     new_iq_tail, new_prev_i, new_prev_q, new_bank_tail, new_mono_delay,
     new_carrier_tail|None, new_rds_delay|None)``.
@@ -629,18 +625,18 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     idx, mask = _hraw_plan(k, decim, w0)
     hb_mm = (h_rf * jnp.float32(1.0 / 128.0)).astype(mm_dtype)
     sum_h = 128.0 * jnp.sum(hb_mm.astype(jnp.float32))
-    hr = h_rf[idx] * jnp.asarray(mask) * jnp.float32(1.0 / 128.0)
+    hr = (h_rf[idx] * jnp.asarray(mask)
+          * jnp.float32(1.0 / 128.0)).astype(mm_dtype)
 
     bidx, bmask = _hb_plan(kb)
+    # runtime-disabling RDS against RDS-capable params is legal (the
+    # stock path computes 3 bands and uses 2): keep only the rows the
+    # kernel will read
+    h_bank = h_bank[:3 if rds else 2]
+    assert h_bank.shape[0] == (3 if rds else 2), (h_bank.shape, rds)
     hb = (h_bank[..., bidx] * jnp.asarray(bmask)).astype(mm_dtype)
-    nb = hb.shape[0]
-    assert nb == (3 if rds else 2), (nb, rds)
 
-    tail_raw = jnp.swapaxes(iq_tail, -1, -2).reshape(c, 2 * (k - 1))
-    tail_raw = tail_raw * 128.0 + 128.0
-    tail_raw = jnp.pad(tail_raw, ((0, 0), (w0 - 2 * (k - 1), 0)))
-    prev = jnp.stack([prev_i, prev_q], axis=-1)
-    prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))
+    tail_raw, prev = _raw_tail_prev(iq_tail, prev_i, prev_q, k, w0)
 
     rpad = lambda a: jnp.pad(a, ((0, 0), (_T - a.shape[-1], 0)))  # noqa: E731
     bank_hist = rpad(bank_tail[..., 0, :])
@@ -709,9 +705,7 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
         fmd, pilot, stereo, last, fm_last = outs
         carrier = rdsdel = sq_last = rds_last = None
 
-    tail_iq = iq_u8[:, bs - 2 * (k - 1):].astype(jnp.float32)
-    tail_iq = (tail_iq - 128.0) / 128.0
-    new_tail = jnp.swapaxes(tail_iq.reshape(c, k - 1, 2), -1, -2)
+    new_tail = _new_iq_tail(iq_u8, k)
     nbk = bank_tail.shape[-2]
     new_bank = jnp.broadcast_to(fm_last[:, _T - (kb - 1):][:, None, :],
                                 (c, nbk, kb - 1))
@@ -796,7 +790,5 @@ def fused_frontend(iq_u8: Array, h: Array, iq_tail: Array, prev_i: Array,
 
     # new raw-rate tail from the block's last K-1 IQ pairs (u8-rate read
     # of 2(K-1) bytes/channel — negligible)
-    tail_iq = iq_u8[:, bs - 2 * (k - 1):].astype(jnp.float32)
-    tail_iq = (tail_iq - 128.0) / 128.0
-    new_tail = jnp.swapaxes(tail_iq.reshape(c, k - 1, 2), -1, -2)
+    new_tail = _new_iq_tail(iq_u8, k)
     return fm, new_tail, last[:, 0], last[:, 1]

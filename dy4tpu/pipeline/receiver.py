@@ -168,9 +168,11 @@ def back_state_of(state: ReceiverState) -> BackState:
 
 def fused_frontend_ok(cfg: ModeConfig) -> bool:
     """Geometry gate for the fused Pallas front ends (128-lane output
-    tiles; history slab within one tile stride)."""
+    tiles; history slab within one tile stride; the full-front kernel's
+    band-filter history must additionally fit one 128-lane tile)."""
     return (cfg.if_per_block % 128 == 0
-            and 2 * (cfg.num_taps - 1) <= 2 * 128 * cfg.rf_decim)
+            and 2 * (cfg.num_taps - 1) <= 2 * 128 * cfg.rf_decim
+            and cfg.num_taps - 1 <= 128)
 
 
 def fused_phase_frontend_ok(cfg: ModeConfig) -> bool:

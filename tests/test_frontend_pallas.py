@@ -153,7 +153,9 @@ def test_fused_frontend_full_matches_stock_stream(mode, rds):
                   (stereo, fo_ref.stereo_band, 5e-4),
                   (nbank, fs_ref.bank_tail, 2e-3),
                   (nmono, fs_ref.mono_delay, 2e-3),
-                  (ntail, fs_ref.rf.iq_tail, 0.0)]
+                  (ntail, fs_ref.rf.iq_tail, 0.0),
+                  (npi, fs_ref.rf.prev_i, 1e-5),
+                  (npq, fs_ref.rf.prev_q, 1e-5)]
         if rds:
             checks += [(carrier, fo_ref.carrier, 1e-5),
                        (rdsdel, fo_ref.rds_delayed, 1e-4),
@@ -167,6 +169,30 @@ def test_fused_frontend_full_matches_stock_stream(mode, rds):
                                        atol=max(tol, 1e-12))
         # interchange: continue BOTH paths from the stock state
         fs = fs_ref
+
+
+def test_fused_frontend_full_rds_disabled_against_rds_params():
+    """Runtime-disabling RDS against RDS-capable params (3-row
+    bank_coeff) is legal on the stock path; the fused kernel must accept
+    it too (slice, not assert) and match."""
+    cfg = get_mode(0)
+    rng = np.random.default_rng(11)
+    c = 2
+    params = receiver.make_params(cfg)          # supports_rds: 3 bands
+    st = receiver.init_state(cfg, batch=(c,))   # matching 3-row state
+    fs = receiver.front_state_of(st)
+    blk = jnp.asarray(rng.integers(0, 256, (c, cfg.block_size),
+                                   dtype=np.uint8))
+    _, fo_ref = receiver.front_step(params, fs, blk, cfg,
+                                    frontend="stock", rds_enabled=False)
+    r = frontend_pallas.fused_frontend_full(
+        blk, params.rf_coeff, params.bank_coeff, params.rds_carrier_coeff,
+        fs.rf.iq_tail, fs.rf.prev_i, fs.rf.prev_q, fs.bank_tail,
+        fs.mono_delay, None, None, cfg.rf_decim, rds=False,
+        mm_dtype=jnp.float32, interpret=True)
+    assert r[3] is None and r[4] is None       # carrier / rds_delayed
+    np.testing.assert_allclose(np.asarray(r[1]), np.asarray(fo_ref.pilot),
+                               atol=1e-4)
 
 
 @pytest.mark.parametrize("k,decim", [(51, 4), (129, 8), (75, 3)])
@@ -244,7 +270,7 @@ def test_fused_frontend_raw_pm_matches_raw(mode):
     assert err[power > 1e-3].max() < 1e-3
 
 
-@pytest.mark.parametrize("variant", ["fused", "fused-phase"])
+@pytest.mark.parametrize("variant", ["fused", "fused-rf", "fused-phase"])
 def test_front_step_fused_flag_cpu_interpret(monkeypatch, variant):
     """front_step(frontend=...) wires the kernels correctly (state
     shapes, batch flattening) — interpreter mode via monkeypatch."""
