@@ -129,7 +129,10 @@ def bench_chain() -> None:
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     channels = int(os.environ.get("BENCH_CHANNELS", 512 if on_tpu else 2))
-    n_blocks = int(os.environ.get("BENCH_BLOCKS", 32 if on_tpu else 2))
+    # 64 blocks = 1.7 s of stream per scan: measured saturation point of
+    # the dispatch-amortisation curve (32: 15.0-15.2, 48: 15.6, 64: 16.5,
+    # 96: 16.6 GS/s) and still a realistic serving batch
+    n_blocks = int(os.environ.get("BENCH_BLOCKS", 64 if on_tpu else 2))
     repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
     # DEFAULT (bf16-input matmul) is the production-serving configuration:
     # benchmarks/precision_check.py measures bit-identical RDS symbols and

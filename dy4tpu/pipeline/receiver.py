@@ -303,24 +303,67 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                      rds_delayed=rds_delayed))
 
 
+def fused_backend_ok(cfg: ModeConfig) -> bool:
+    """Geometry gate for the fused audio back end (U=1 modes only)."""
+    from dy4tpu.ops import backend_pallas
+    return backend_pallas.fused_backend_ok(
+        cfg.if_per_block, cfg.audio_up, cfg.audio_taps,
+        cfg.audio_per_block)
+
+
 def back_step(params: ReceiverParams, bstate: BackState, fo: FrontOut,
               nco: Array, nco_i: Optional[Array], nco_q: Optional[Array],
               cfg: ModeConfig, *, precision=jax.lax.Precision.HIGHEST,
-              rds_enabled: bool = True) -> tuple[BackState, BackOut]:
+              rds_enabled: bool = True, backend: str = "auto"
+              ) -> tuple[BackState, BackOut]:
     """Audio resampling + stereo matrix + RDS matched filtering — the
     post-PLL half (project.cpp:118-133; fmMonoBlock.py:684-696).  ``nco``
     is the stereo pilot NCO; ``nco_i``/``nco_q`` the RDS quadrature NCO
-    pair (None when RDS is off)."""
-    # ---- mono + stereo audio resamplers, one stacked call ----
-    stereo_mixed = mix.mix(nco, fo.stereo_band, gain=2.0)
-    audio_in = jnp.stack([fo.fm_delayed, stereo_mixed], axis=-2)
-    audio_tails = jnp.stack([bstate.mono_tail, bstate.stereo_tail], axis=-2)
-    audio_out, audio_tails = fir.block_fir_resample(
-        audio_in, params.audio_coeff, audio_tails,
-        up=cfg.audio_up, down=cfg.audio_down, precision=precision)
-    mono, stereo_lp = audio_out[..., 0, :], audio_out[..., 1, :]
-    mono_tail, stereo_tail = audio_tails[..., 0, :], audio_tails[..., 1, :]
-    left, right = mix.stereo_matrix(mono, stereo_lp)
+    pair (None when RDS is off).
+
+    ``backend``: "stock" (XLA mix + stacked resampler + matrix),
+    "fused" (one Pallas VMEM pass, ops/backend_pallas.py — U=1 modes
+    only), or "auto" (fused on TPU when the geometry fits;
+    env DY4TPU_BACKEND overrides)."""
+    if backend == "auto":
+        import os
+        env = os.environ.get("DY4TPU_BACKEND", "auto")
+        if env in ("stock", "fused"):
+            backend = env
+        else:
+            backend = ("fused" if jax.default_backend() == "tpu"
+                       and fused_backend_ok(cfg) else "stock")
+
+    if backend == "fused":
+        from dy4tpu.ops import backend_pallas
+        mm = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
+              else jnp.bfloat16)
+        batch = fo.fm_delayed.shape[:-1]
+        n = fo.fm_delayed.shape[-1]
+        flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])  # noqa: E731
+        unflat = lambda a: a.reshape(batch + a.shape[1:])  # noqa: E731
+        mono, left, right, mono_tail, stereo_tail = (
+            backend_pallas.fused_audio_backend(
+                fo.fm_delayed.reshape(-1, n),
+                fo.stereo_band.reshape(-1, n), nco.reshape(-1, n),
+                params.audio_coeff, flat(bstate.mono_tail),
+                flat(bstate.stereo_tail), cfg.audio_down, mm_dtype=mm))
+        mono, left, right = unflat(mono), unflat(left), unflat(right)
+        mono_tail = unflat(mono_tail)
+        stereo_tail = unflat(stereo_tail)
+    else:
+        # ---- mono + stereo audio resamplers, one stacked call ----
+        stereo_mixed = mix.mix(nco, fo.stereo_band, gain=2.0)
+        audio_in = jnp.stack([fo.fm_delayed, stereo_mixed], axis=-2)
+        audio_tails = jnp.stack([bstate.mono_tail, bstate.stereo_tail],
+                                axis=-2)
+        audio_out, audio_tails = fir.block_fir_resample(
+            audio_in, params.audio_coeff, audio_tails,
+            up=cfg.audio_up, down=cfg.audio_down, precision=precision)
+        mono, stereo_lp = audio_out[..., 0, :], audio_out[..., 1, :]
+        mono_tail = audio_tails[..., 0, :]
+        stereo_tail = audio_tails[..., 1, :]
+        left, right = mix.stereo_matrix(mono, stereo_lp)
 
     bb_i = bb_q = None
     lpf_tail_i = lpf_tail_q = rrc_tail_i = rrc_tail_q = None
