@@ -208,6 +208,18 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
             frontend = ("fused" if jax.default_backend() == "tpu"
                         and fused_frontend_ok(cfg) else "stock")
 
+    # explicit (or env-forced) fused variants must fail loudly on
+    # unsupported geometry, not die inside the kernel's asserts
+    if frontend in ("fused", "fused-rf") and not fused_frontend_ok(cfg):
+        raise ValueError(f"frontend={frontend!r} unsupported for this "
+                         f"mode geometry (taps={cfg.num_taps}, "
+                         f"decim={cfg.rf_decim}, "
+                         f"if_per_block={cfg.if_per_block}); use 'stock'")
+    if frontend == "fused-phase" and not fused_phase_frontend_ok(cfg):
+        raise ValueError("frontend='fused-phase' needs phase-aligned "
+                         f"taps ((taps-1) % decim == 0; taps="
+                         f"{cfg.num_taps}, decim={cfg.rf_decim})")
+
     if frontend == "fused":
         # whole LTI front half in ONE Pallas pass: raw u8 -> fm -> mono
         # delay + band bank + squaring + carrier BPF + RDS delay — the
@@ -335,17 +347,21 @@ def back_step(params: ReceiverParams, bstate: BackState, fo: FrontOut,
                        and fused_backend_ok(cfg) else "stock")
 
     if backend == "fused":
+        if not fused_backend_ok(cfg):
+            raise ValueError(
+                f"backend='fused' requires a U=1 mode with "
+                f"audio_taps-1 <= 128 and 128-divisible block geometry "
+                f"(mode has U={cfg.audio_up}, taps={cfg.audio_taps}); "
+                f"use backend='stock'")
         from dy4tpu.ops import backend_pallas
         mm = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
               else jnp.bfloat16)
         batch = fo.fm_delayed.shape[:-1]
-        n = fo.fm_delayed.shape[-1]
         flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])  # noqa: E731
         unflat = lambda a: a.reshape(batch + a.shape[1:])  # noqa: E731
         mono, left, right, mono_tail, stereo_tail = (
             backend_pallas.fused_audio_backend(
-                fo.fm_delayed.reshape(-1, n),
-                fo.stereo_band.reshape(-1, n), nco.reshape(-1, n),
+                flat(fo.fm_delayed), flat(fo.stereo_band), flat(nco),
                 params.audio_coeff, flat(bstate.mono_tail),
                 flat(bstate.stereo_tail), cfg.audio_down, mm_dtype=mm))
         mono, left, right = unflat(mono), unflat(left), unflat(right)
@@ -513,7 +529,7 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
                   iq_u8: Array, cfg: ModeConfig,
                   precision=jax.lax.Precision.HIGHEST,
                   with_rds: Optional[bool] = None,
-                  frontend: str = "auto"
+                  frontend: str = "auto", backend: str = "auto"
                   ) -> tuple[ReceiverState, StepOutputs]:
     """Process one block of interleaved u8 IQ samples.
 
@@ -560,7 +576,7 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
 
     bstate, bo = back_step(params, back_state_of(state), fo, nco, nco_i,
                            nco_q, cfg, precision=precision,
-                           rds_enabled=rds_enabled)
+                           rds_enabled=rds_enabled, backend=backend)
 
     new_audio = AudioState(mono_delay=fstate.mono_delay,
                            mono_tail=bstate.mono_tail,

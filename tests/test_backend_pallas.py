@@ -94,3 +94,19 @@ def test_fused_backend_gate():
     assert receiver.fused_backend_ok(get_mode(1))
     assert not receiver.fused_backend_ok(get_mode(2))  # U=147
     assert not receiver.fused_backend_ok(get_mode(3))
+
+
+def test_backend_fused_rejects_polyphase_mode_loudly():
+    """Forcing backend='fused' on a U=147 mode must raise a clear
+    ValueError (gate check), not die inside the kernel's asserts —
+    the DY4TPU_BACKEND env override takes this same path."""
+    cfg = get_mode(2)
+    params = receiver.make_params(cfg)
+    state = receiver.init_state(cfg)
+    fs = receiver.front_state_of(state)
+    blk = jnp.zeros(cfg.block_size, jnp.uint8)
+    _, fo = receiver.front_step(params, fs, blk, cfg, frontend="stock")
+    nco = jnp.zeros(cfg.if_per_block)
+    with pytest.raises(ValueError, match="U=1 mode"):
+        receiver.back_step(params, receiver.back_state_of(state), fo,
+                           nco, nco, nco, cfg, backend="fused")
