@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -264,12 +265,73 @@ def bench_sharded() -> None:
     }))
 
 
+_PROBE_SRC = """
+import os
+from dy4tpu.utils import jaxenv
+jaxenv.setup()
+import jax
+x = jax.numpy.ones(8).sum()
+x.block_until_ready()
+print("PROBE_OK", jax.devices()[0].platform)
+"""
+
+
+def _wait_for_backend(tries: int = 5, backoff_s: float = 60.0,
+                      probe_timeout_s: float = 120.0) -> None:
+    """Block until the JAX backend answers a trivial op, or raise.
+
+    The axon TPU tunnel has two transient failure modes (VERDICT r2 #2 /
+    CLAUDE.md): it can raise UNAVAILABLE at init, or it can *hang* (even
+    ``jnp.ones(8).sum()`` never returns).  A hang in-process would wedge
+    the whole bench, so each probe runs in a subprocess under a hard
+    timeout.  In-process backend init only happens after a probe passes.
+    """
+    env = dict(os.environ)
+    last = "no probe attempted"
+    for attempt in range(tries):
+        if attempt:
+            print(f"bench: backend unavailable ({last}); retry "
+                  f"{attempt + 1}/{tries} in {backoff_s:.0f}s",
+                  file=sys.stderr)
+            time.sleep(backoff_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC], env=env,
+                capture_output=True, text=True, timeout=probe_timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            last = f"probe hung > {probe_timeout_s:.0f}s (tunnel wedged)"
+            continue
+        if r.returncode == 0 and "PROBE_OK" in r.stdout:
+            return
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        last = tail[-1][:300] if tail else f"probe rc={r.returncode}"
+    raise RuntimeError(f"backend unavailable after {tries} probes: {last}")
+
+
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "chain")
-    if mode == "sharded":
-        bench_sharded()
-    else:
-        bench_chain()
+    try:
+        _wait_for_backend()
+        if mode == "sharded":
+            bench_sharded()
+        else:
+            bench_chain()
+    except Exception as e:  # noqa: BLE001 — one JSON line, never a bare
+        # traceback: the driver records stdout verbatim (VERDICT r2 #1)
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": f"mode{os.environ.get('BENCH_RADIO_MODE', 0)}"
+                      "_full_chain_iq_throughput_per_chip"
+                      if mode != "sharded" else
+                      "sharded_time_scaling_efficiency",
+            "value": 0.0,
+            "unit": "MS/s" if mode != "sharded" else "ratio",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -41,13 +41,30 @@ class HostTopology:
 def _launch_env_present() -> bool:
     """True when the launcher/TPU metadata can supply the distributed
     arguments (Cloud TPU pod slice, SLURM/OpenMPI, or an explicit
-    coordinator in the environment)."""
+    coordinator in the environment).
+
+    SLURM/OpenMPI are gated on vars that actually imply *multiple*
+    processes (an ordinary single-node batch job sets SLURM_JOB_ID but
+    must not trigger a coordinator-less distributed bring-up).
+    """
     env = os.environ
-    return any(k in env for k in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS",
-        "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
-        "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE"))
+    if any(k in env for k in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID")):
+        return True
+    # Only a *multi*-host worker list implies a distributed launch (a
+    # single-chip dev tunnel sets TPU_WORKER_HOSTNAMES=localhost).
+    if len([h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",")
+            if h.strip()]) > 1:
+        return True
+    for k in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(env.get(k, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -70,14 +87,21 @@ def initialize(coordinator_address: Optional[str] = None,
         or coordinator_address is not None
         or _launch_env_present())
     if want:
-        try:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id)
-        except RuntimeError:
-            # already initialized (idempotent re-entry)
-            pass
+        already = jax.distributed.is_initialized()
+        if not already:
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address,
+                    num_processes=num_processes,
+                    process_id=process_id)
+            except RuntimeError as e:
+                # Only the double-initialization race is benign; a real
+                # coordinator bring-up failure (unreachable address,
+                # timeout, process-count mismatch) must fail loudly —
+                # silently degrading to single-process topology would do
+                # duplicated per-host work on a pod (ADVICE r2).
+                if "already initialized" not in str(e).lower():
+                    raise
     return HostTopology(process_id=jax.process_index(),
                         num_processes=jax.process_count(),
                         local_devices=jax.local_devices())

@@ -300,6 +300,7 @@ class NativeFrameSyncBatch:
             self._lib.dy4_fsbatch_state_bytes.argtypes = [ctypes.c_void_p]
             self._lib.dy4_fsbatch_export.restype = ctypes.c_int
             self._lib.dy4_fsbatch_export.argtypes = [ctypes.c_void_p, u8p]
+            self._lib.dy4_fsbatch_import.restype = ctypes.c_int
             self._lib.dy4_fsbatch_import.argtypes = [ctypes.c_void_p, u8p]
             self._lib.dy4_fsbatch_synced.restype = ctypes.c_int
             self._lib.dy4_fsbatch_synced.argtypes = [ctypes.c_void_p, u8p]
@@ -357,7 +358,8 @@ class NativeFrameSyncBatch:
         expect = self._lib.dy4_fsbatch_state_bytes(self._h)
         if len(buf) != expect:
             raise ValueError(f"state blob {len(buf)} B != expected {expect}")
-        self._lib.dy4_fsbatch_import(self._h, _u8ptr(buf))
+        if not self._lib.dy4_fsbatch_import(self._h, _u8ptr(buf)):
+            raise ValueError("state blob rejected: corrupt buffer length")
 
     @property
     def synced(self) -> np.ndarray:

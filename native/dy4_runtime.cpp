@@ -12,6 +12,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cstddef>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -506,7 +507,17 @@ struct FrameSyncBatch {
     return true;
   }
 
-  void import_state(const uint8_t* src) {
+  bool import_state(const uint8_t* src) {
+    // Validate every record before mutating any channel: a corrupt blob
+    // (buf_len > kMaxBuf) must not cause an OOB read of the stack struct
+    // nor leave the batch half-imported.
+    const uint8_t* p = src;
+    for (size_t c = 0; c < chans.size(); ++c, p += sizeof(SerState)) {
+      uint16_t buf_len;
+      std::memcpy(&buf_len, p + offsetof(SerState, buf_len),
+                  sizeof(buf_len));
+      if (buf_len > kMaxBuf) return false;
+    }
     for (FrameSync& fs : chans) {
       SerState s;
       std::memcpy(&s, src, sizeof(s));
@@ -520,6 +531,7 @@ struct FrameSyncBatch {
       fs.synced = s.synced != 0;
       fs.buf.assign(s.buf, s.buf + s.buf_len);
     }
+    return true;
   }
 };
 
@@ -621,8 +633,10 @@ size_t dy4_fsbatch_state_bytes(void* h) {
 int dy4_fsbatch_export(void* h, uint8_t* dst) {
   return static_cast<FrameSyncBatch*>(h)->export_state(dst) ? 1 : 0;
 }
-void dy4_fsbatch_import(void* h, const uint8_t* src) {
-  static_cast<FrameSyncBatch*>(h)->import_state(src);
+// Returns 1 on success, 0 when the blob is rejected (corrupt buf_len);
+// on rejection no channel state is modified.
+int dy4_fsbatch_import(void* h, const uint8_t* src) {
+  return static_cast<FrameSyncBatch*>(h)->import_state(src) ? 1 : 0;
 }
 int dy4_fsbatch_synced(void* h, uint8_t* dst) {
   auto* b = static_cast<FrameSyncBatch*>(h);

@@ -178,3 +178,43 @@ def test_fleet_decoder_multi_channel():
     for c, (pi, _) in enumerate(stations):
         assert fleet.groups[c], f"channel {c} decoded nothing"
         assert fleet.groups[c][0].pi == pi
+
+
+def test_fleet_corrupt_checkpoint_rejected():
+    """A corrupt framesync blob (oversized buf_len) must be rejected
+    without mutating any channel state (ADVICE r2: native import_state
+    previously trusted the serialized length -> OOB stack read)."""
+    import pytest
+    from dy4tpu.rds.fleet import FleetDecoder
+
+    sym = np.stack([_station_symbols(0x7E57, "CKPTFLT "),
+                    _station_symbols(0x1357, "SECOND  ")])
+    dec = FleetDecoder(2)
+    step = 76
+    n = sym.shape[1]
+    starts = list(range(0, n - step, step))
+    cut = len(starts) // 2
+    for i in starts[:cut]:
+        dec.push_block(sym[:, i:i + step])
+
+    good = dec.framer.export_state()
+    bad = b"\xff" * len(good)  # buf_len = 0xFFFF > kMaxBuf in every record
+    with pytest.raises(ValueError, match="rejected"):
+        dec.framer.import_state(bad)
+    with pytest.raises(ValueError, match="blob"):
+        dec.framer.import_state(good[:-1])  # wrong size
+
+    # rejection left the batch untouched: the stream continues exactly
+    ref = FleetDecoder(2)
+    ref.framer.import_state(good)
+    ref.manchester.load_state(dec.manchester.state())
+    ref._last_offset[...] = dec._last_offset
+    for i in starts[cut:]:
+        dec.push_block(sym[:, i:i + step])
+        ref.push_block(sym[:, i:i + step])
+    for ch in range(2):
+        assert len(dec.groups[ch]) > 5
+        got = [(g.blocks, g.bit_position) for g in ref.groups[ch]]
+        want = [(g.blocks, g.bit_position)
+                for g in dec.groups[ch][len(dec.groups[ch]) - len(got):]]
+        assert got == want

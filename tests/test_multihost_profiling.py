@@ -45,6 +45,53 @@ def test_initialize_defaults_to_launcher_env(monkeypatch):
     assert calls == [("10.0.0.2:8476", 4, 2)]
 
 
+def test_initialize_single_node_batch_job_is_noop(monkeypatch):
+    """An ordinary single-node SLURM/MPI job (job id present, one task)
+    must NOT trigger a coordinator-less distributed bring-up, and a
+    single-hostname TPU_WORKER_HOSTNAMES (dev tunnel) must not either
+    (ADVICE r2)."""
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    multihost.initialize()
+    assert calls == []
+
+    monkeypatch.setenv("SLURM_NTASKS", "4")  # real multi-task launch
+    multihost.initialize()
+    assert len(calls) == 1
+
+    calls.clear()
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    multihost.initialize()
+    assert len(calls) == 1
+
+
+def test_initialize_reraises_real_bringup_failure(monkeypatch):
+    """A genuine coordinator failure must fail loudly — only the
+    double-initialization race is benign (ADVICE r2: silently degrading
+    to single-process would duplicate per-host work on a pod)."""
+    def boom(**kw):
+        raise RuntimeError("connection to coordinator timed out")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    with pytest.raises(RuntimeError, match="timed out"):
+        multihost.initialize(coordinator_address="10.0.0.9:1",
+                             num_processes=2, process_id=0)
+
+    def already(**kw):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    topo = multihost.initialize(coordinator_address="10.0.0.9:1",
+                                num_processes=2, process_id=0)
+    assert topo.num_processes == 1  # benign re-entry falls through
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_pod_mesh_layout():
     mesh = multihost.pod_mesh(time_per_host=4)
