@@ -183,8 +183,8 @@ def fused_phase_frontend_ok(cfg: ModeConfig) -> bool:
 
 def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                cfg: ModeConfig, *, precision=jax.lax.Precision.HIGHEST,
-               rds_enabled: bool = True, frontend: str = "auto"
-               ) -> tuple[FrontState, FrontOut]:
+               rds_enabled: bool = True, frontend: str = "auto",
+               demod_kind: str = "diff") -> tuple[FrontState, FrontOut]:
     """RF front end + band bank + RDS carrier recovery filters — the LTI
     half of the receiver (project.cpp:72-93 + fmMonoBlock.py:673-680).
 
@@ -196,9 +196,25 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
     (raw u8->fm kernel only, XLA for the rest — A/B), "fused-phase"
     (the earlier phase-pre-split kernel — A/B), or "auto" (fused on TPU
     when the mode geometry fits).
+
+    ``demod_kind``: "diff" (the differentiator the reference runs in real
+    time, src/filter.cpp:85-102 — the production path) or "arctan" (the
+    phase-unwrap demod of the reference *Python model*'s chain,
+    fmMonoBlock.py:628 with il_vs_th=1; stock frontend only).  The two
+    differ by ~25 dB on a full-deviation broadcast (sin(dphi) vs dphi at
+    phase steps up to ~3 rad) — that discrepancy is internal to the
+    reference itself, and "arctan" exists so the full-chain golden test
+    can pin our chain against the executed model without it
+    (tests/test_golden_chain.py).  With "arctan" the RFState.prev_i slot
+    carries the previous block's phase and prev_q the last Q sample.
     """
     bs = cfg.block_size
     assert iq_u8.shape[-1] == bs, (iq_u8.shape, bs)
+    if demod_kind == "arctan":
+        if frontend not in ("auto", "stock"):
+            raise ValueError("demod_kind='arctan' requires the stock "
+                             f"frontend, got {frontend!r}")
+        frontend = "stock"
     if frontend == "auto":
         import os
         env = os.environ.get("DY4TPU_FRONTEND", "auto")
@@ -283,9 +299,15 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                                              cfg.rf_decim,
                                              precision=precision)
         i_ds, q_ds = iq_ds[..., 0, :], iq_ds[..., 1, :]
-        fm, prev_i, prev_q = demod.fm_demod_diff(i_ds, q_ds,
-                                                 fstate.rf.prev_i,
-                                                 fstate.rf.prev_q)
+        if demod_kind == "arctan":
+            # prev_i slot carries the previous block's phase (init 0
+            # matches the model's state_phase=0, fmMonoBlock.py:594)
+            fm, phase = demod.fm_demod_arctan(i_ds, q_ds, fstate.rf.prev_i)
+            prev_i, prev_q = phase, q_ds[..., -1]
+        else:
+            fm, prev_i, prev_q = demod.fm_demod_diff(i_ds, q_ds,
+                                                     fstate.rf.prev_i,
+                                                     fstate.rf.prev_q)
     new_rf = RFState(iq_tail=iq_tail, prev_i=prev_i, prev_q=prev_q)
 
     # ---- mono path delay (project.cpp:109-116) ----
@@ -529,7 +551,8 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
                   iq_u8: Array, cfg: ModeConfig,
                   precision=jax.lax.Precision.HIGHEST,
                   with_rds: Optional[bool] = None,
-                  frontend: str = "auto", backend: str = "auto"
+                  frontend: str = "auto", backend: str = "auto",
+                  demod_kind: str = "diff"
                   ) -> tuple[ReceiverState, StepOutputs]:
     """Process one block of interleaved u8 IQ samples.
 
@@ -545,7 +568,7 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
 
     fstate, fo = front_step(params, front_state_of(state), iq_u8, cfg,
                             precision=precision, rds_enabled=rds_enabled,
-                            frontend=frontend)
+                            frontend=frontend, demod_kind=demod_kind)
 
     # ---- stereo + RDS PLLs (project.cpp:118-133; fmMonoBlock.py:683) ----
     if rds_enabled:

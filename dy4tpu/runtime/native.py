@@ -16,10 +16,16 @@ from typing import Optional
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(_PKG_ROOT)
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libdy4runtime.so")
+# search order: explicit override, repo-layout build (editable install /
+# source checkout), wheel package data (setup.py BuildWithNative)
+_LIB_CANDIDATES = [
+    os.environ.get("DY4TPU_NATIVE_LIB", ""),
+    os.path.join(_NATIVE_DIR, "libdy4runtime.so"),
+    os.path.join(_PKG_ROOT, "_native", "libdy4runtime.so"),
+]
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -29,7 +35,7 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if build:
+    if build and os.path.isdir(_NATIVE_DIR):
         # Always invoke make: the Makefile is dependency-aware (no-op when
         # the .so is fresh), so edits to dy4_runtime.cpp are never silently
         # shadowed by a stale binary.  Falls through to loading an existing
@@ -39,9 +45,11 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
                            capture_output=True)
         except (OSError, subprocess.CalledProcessError):
             pass
-    if not os.path.exists(_LIB_PATH):
+    path = next((p for p in _LIB_CANDIDATES if p and os.path.exists(p)),
+                None)
+    if path is None:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(path)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.dy4_ring_create.restype = ctypes.c_void_p
     lib.dy4_ring_create.argtypes = [ctypes.c_size_t]
