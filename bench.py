@@ -238,8 +238,12 @@ def bench_sharded() -> None:
     # exact time-sharded step over all devices (the carry is donated, so
     # thread it through the timing loop like a real stream would)
     mesh = make_mesh(ch=1, time=n_dev)
+    # BENCH_REPLAY=replicated reverts to the pre-r3 replicated PLL/CDR
+    # replay for A/B against the channel-parallel (all_to_all) one
+    chan_par = os.environ.get("BENCH_REPLAY", "chan") != "replicated"
     rx = ShardedReceiver(cfg, mesh, shard_blocks=s_blocks,
-                         overlap_blocks=1, precision=precision)
+                         overlap_blocks=1, precision=precision,
+                         channel_parallel_replay=chan_par)
     carry = rx.init(channels)
     iq_sh = jax.device_put(iq, rx.input_sharding())
     carry, out = rx.step(params, carry, iq_sh)     # compile + warm-up

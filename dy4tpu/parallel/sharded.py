@@ -107,7 +107,8 @@ class ShardedReceiver:
     def __init__(self, cfg: ModeConfig, mesh: Mesh, *,
                  shard_blocks: int = 4, overlap_blocks: int = 1,
                  stereo: bool = True, exact: bool = True,
-                 precision=lax.Precision.HIGHEST):
+                 precision=lax.Precision.HIGHEST,
+                 channel_parallel_replay: bool = True):
         if TIME_AXIS not in mesh.shape or CH_AXIS not in mesh.shape:
             raise ValueError(f"mesh must have axes ({CH_AXIS},{TIME_AXIS})")
         self.cfg = cfg
@@ -119,6 +120,7 @@ class ShardedReceiver:
         self.stereo = stereo
         self.exact = exact
         self.precision = precision
+        self.channel_parallel_replay = channel_parallel_replay
         self.halo_len = overlap_blocks * cfg.block_size
         self.chunk_len = self.t_shards * shard_blocks * cfg.block_size
         self.pll_lanes = 2 if cfg.supports_rds else 1
@@ -362,18 +364,66 @@ class ShardedReceiver:
                 lanes.append(fos.carrier[o_blocks:])
             codes_local = jnp.stack(
                 [to_stream(pll.encode_sign(v)) for v in lanes], axis=-2)
-            codes_chunk = lax.all_gather(codes_local, TIME_AXIS, axis=-1,
-                                         tiled=True)  # [C_l, L, T*S*N]
-            codes_all = jnp.concatenate([prev_codes, codes_chunk], axis=-1)
-            # carry_mid = state O blocks before the NEXT chunk's start —
-            # exactly where the next call's scan must resume
-            phis, carry_mid, _ = pll.phase_scan_coded(
-                codes_all, (integ, pe, ang), freq=freq, fs=cfg.if_fs,
-                norm_bandwidth=bw, split_at=t_shards * s_blocks * n_if)
-
             span = (o_blocks + s_blocks) * n_if
-            start = t_idx * (s_blocks * n_if)
-            phis_sh = lax.dynamic_slice_in_dim(phis, start, span, axis=-1)
+            c_l = codes_local.shape[0]
+            # The phase replay is a sequential recurrence over time but
+            # embarrassingly parallel over channels: instead of every
+            # time shard replaying ALL channels over the full chunk
+            # (replicated serial fraction — the 1-device tax VERDICT r2
+            # item 4 measured at 0.276), re-shard the replay over the
+            # time axis BY CHANNEL with one all_to_all each way.  Each
+            # shard replays C_l/T channels over the full chunk — the
+            # serial fraction divides by T — then the per-shard phase
+            # spans are redistributed back.  Per-channel float ops are
+            # unchanged, so outputs stay bit-exact.
+            chan_par = (self.channel_parallel_replay and t_shards > 1
+                        and c_l % t_shards == 0 and o_blocks <= s_blocks)
+            if chan_par:
+                cg = c_l // t_shards
+                grp = lambda x: lax.dynamic_slice_in_dim(  # noqa: E731
+                    x, t_idx * cg, cg, axis=0)
+                codes_grp = lax.all_to_all(
+                    codes_local, TIME_AXIS, split_axis=0, concat_axis=2,
+                    tiled=True)                     # [cg, L, T*S*N]
+                codes_all = jnp.concatenate([grp(prev_codes), codes_grp],
+                                            axis=-1)
+                # carry_mid = state O blocks before the NEXT chunk's
+                # start — where the next call's scan must resume
+                phis_g, carry_mid_g, _ = pll.phase_scan_coded(
+                    codes_all, (grp(integ), grp(pe), grp(ang)),
+                    freq=freq, fs=cfg.if_fs, norm_bandwidth=bw,
+                    split_at=t_shards * s_blocks * n_if)
+                spans = jnp.stack(
+                    [lax.dynamic_slice_in_dim(phis_g, j * s_blocks * n_if,
+                                              span, axis=-1)
+                     for j in range(t_shards)], axis=0)  # [T, cg, L, span]
+                phis_sh = lax.all_to_all(
+                    spans, TIME_AXIS, split_axis=0, concat_axis=1,
+                    tiled=True)[0]                  # [C_l, L, span]
+                carry_mid = tuple(
+                    lax.all_gather(c, TIME_AXIS, axis=0, tiled=True)
+                    for c in carry_mid_g)
+                # chunk tail codes (last O blocks) live on the last time
+                # shard (o_blocks <= s_blocks): broadcast via masked psum
+                tail = codes_local[..., -o_blocks * n_if:].astype(jnp.int32)
+                new_prev_codes = lax.psum(
+                    jnp.where(t_idx == t_shards - 1, tail, 0),
+                    TIME_AXIS).astype(jnp.int8)
+            else:
+                codes_chunk = lax.all_gather(codes_local, TIME_AXIS,
+                                             axis=-1,
+                                             tiled=True)  # [C_l, L, T*S*N]
+                codes_all = jnp.concatenate([prev_codes, codes_chunk],
+                                            axis=-1)
+                phis, carry_mid, _ = pll.phase_scan_coded(
+                    codes_all, (integ, pe, ang), freq=freq, fs=cfg.if_fs,
+                    norm_bandwidth=bw,
+                    split_at=t_shards * s_blocks * n_if)
+                start = t_idx * (s_blocks * n_if)
+                phis_sh = lax.dynamic_slice_in_dim(phis, start, span,
+                                                   axis=-1)
+                new_prev_codes = codes_chunk[
+                    ..., (t_shards * s_blocks - o_blocks) * n_if:]
 
             # NCO synthesis — identical float ops to pll() (scale mult +
             # phase_adjust 0.0 add), so samples match bit-for-bit
@@ -424,30 +474,53 @@ class ShardedReceiver:
             else:
                 pcm = mixops.quantize_s16(mono)
 
-            # ---- stage 4: global CDR over gathered baseband ----
+            # ---- stage 4: global CDR, channel-parallel like the PLL ----
             if rds_on:
-                bb = jnp.stack([bos.bb_i, bos.bb_q], axis=-2)
-                bb_all = lax.all_gather(bb[o_blocks:], TIME_AXIS, axis=0,
-                                        tiled=True)  # [T*S, C_l, 2, M]
+                bb = jnp.stack([bos.bb_i, bos.bb_q], axis=-2)[o_blocks:]
 
                 def cbody(cst, bbk):
                     _si, _sq, symbols, resync, cst2 = receiver._cdr(
                         bbk[..., 0, :], bbk[..., 1, :], cst, cfg.rds_sps)
                     return cst2, (symbols, resync, cst2.offset)
 
-                new_cdr, (sym_all, res_all, off_all) = lax.scan(cbody, cdr,
-                                                                bb_all)
-                sl = lambda x: lax.dynamic_slice_in_dim(  # noqa: E731
-                    x, t_idx * s_blocks, s_blocks, axis=0)
-                syms = flatten_blocks(sl(sym_all))
-                resync = jnp.moveaxis(sl(res_all), 0, -1)
-                offset = jnp.moveaxis(sl(off_all), 0, -1)
+                if chan_par:
+                    bb_grp = lax.all_to_all(
+                        bb, TIME_AXIS, split_axis=1, concat_axis=0,
+                        tiled=True)                 # [T*S, cg, 2, M]
+                    cdr_grp = jax.tree.map(
+                        lambda a: lax.dynamic_slice_in_dim(
+                            a, t_idx * cg, cg, axis=0), cdr)
+                    new_cdr_g, (sym_all, res_all, off_all) = lax.scan(
+                        cbody, cdr_grp, bb_grp)
+                    new_cdr = jax.tree.map(
+                        lambda a: lax.all_gather(a, TIME_AXIS, axis=0,
+                                                 tiled=True), new_cdr_g)
+
+                    def redisperse(x):  # [T*S, cg, ...] -> [S, C_l, ...]
+                        xs = jnp.stack(
+                            [lax.dynamic_slice_in_dim(
+                                x, j * s_blocks, s_blocks, axis=0)
+                             for j in range(t_shards)], axis=0)
+                        return lax.all_to_all(
+                            xs, TIME_AXIS, split_axis=0, concat_axis=2,
+                            tiled=True)[0]
+                    syms = flatten_blocks(redisperse(sym_all))
+                    resync = jnp.moveaxis(redisperse(res_all), 0, -1)
+                    offset = jnp.moveaxis(redisperse(off_all), 0, -1)
+                else:
+                    bb_all = lax.all_gather(bb, TIME_AXIS, axis=0,
+                                            tiled=True)  # [T*S, C_l, 2, M]
+                    new_cdr, (sym_all, res_all, off_all) = lax.scan(
+                        cbody, cdr, bb_all)
+                    sl = lambda x: lax.dynamic_slice_in_dim(  # noqa: E731
+                        x, t_idx * s_blocks, s_blocks, axis=0)
+                    syms = flatten_blocks(sl(sym_all))
+                    resync = jnp.moveaxis(sl(res_all), 0, -1)
+                    offset = jnp.moveaxis(sl(off_all), 0, -1)
             else:
                 new_cdr = cdr
                 syms = resync = offset = None
 
-            new_prev_codes = codes_chunk[
-                ..., (t_shards * s_blocks - o_blocks) * n_if:]
             new_front = jax.tree.map(lambda a: a[None], new_front)
             new_back = jax.tree.map(lambda a: a[None], new_back)
             i2, p2, a2 = carry_mid

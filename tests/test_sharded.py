@@ -212,3 +212,57 @@ def test_sharded_fleet_decode_integration():
                          resync[:, b])
     assert fleet.groups[0], "no groups decoded through sharded + fleet"
     assert fleet.groups[0][0].pi == 0x7E57
+
+
+def test_sharded_channel_parallel_replay_exact(mode0_stream):
+    """When local channels divide the time axis, the exact PLL/CDR replay
+    re-shards over time BY CHANNEL (all_to_all) instead of replicating —
+    the serial-fraction fix of VERDICT r2 item 4.  Outputs must stay
+    bit-equal to the sequential scan for EVERY channel, including RDS
+    symbols/offsets/resync and across a step() boundary."""
+    cfg, n_blocks, _ = mode0_stream
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, 2000).astype(np.int8)
+    n_audio = n_blocks * cfg.audio_per_block
+    iq = fm.synthesize(cfg, n_blocks,
+                       left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.6),
+                       right=fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.6),
+                       rds_bits=bits)
+    mesh = make_mesh(ch=1, time=4)
+    rx = ShardedReceiver(cfg, mesh, shard_blocks=1, overlap_blocks=1)
+    channels = 8   # C_l = 8 divisible by T = 4 -> channel-parallel path
+    params = receiver.make_params(cfg)
+    carry = rx.init(channels)
+    iq2 = np.broadcast_to(iq, (channels, len(iq))).copy()
+
+    outs = []
+    for half in range(2):
+        chunk = iq2[:, half * rx.chunk_len:(half + 1) * rx.chunk_len]
+        carry, out = rx.step(params, carry,
+                             jax.device_put(jnp.asarray(chunk),
+                                            rx.input_sharding()))
+        outs.append(jax.tree.map(np.asarray, out))
+    cat = lambda f: np.concatenate([getattr(o, f) for o in outs], -1)  # noqa: E731
+
+    # batched sequential baseline: XLA accumulates float dots differently
+    # per batch shape, so the bit-equality bar needs the SAME [C, ...]
+    # batch on both sides (C_l=1 shards match the unbatched scan instead)
+    state = receiver.init_state(cfg, batch=(channels,))
+    blocks = jnp.broadcast_to(
+        jnp.asarray(iq.reshape(n_blocks, cfg.block_size))[:, None, :],
+        (n_blocks, channels, cfg.block_size))
+    _, seq = jax.jit(
+        lambda s, b: receiver.run_blocks(params, s, b, cfg))(state, blocks)
+
+    def seq_stream(x):  # [B, C, n] -> [C, B*n]
+        x = np.asarray(x)
+        return np.moveaxis(x, 0, -2).reshape(channels, -1)
+
+    np.testing.assert_array_equal(cat("mono"), seq_stream(seq.mono))
+    np.testing.assert_array_equal(cat("left"), seq_stream(seq.left))
+    np.testing.assert_array_equal(cat("rds_symbols"),
+                                  seq_stream(seq.rds_symbols))
+    np.testing.assert_array_equal(cat("rds_offset"),
+                                  seq_stream(seq.rds_offset[..., None]))
+    np.testing.assert_array_equal(cat("rds_resync"),
+                                  seq_stream(seq.rds_resync[..., None]))
