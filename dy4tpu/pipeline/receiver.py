@@ -338,11 +338,26 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
 
 
 def fused_backend_ok(cfg: ModeConfig) -> bool:
-    """Geometry gate for the fused audio back end (U=1 modes only)."""
-    from dy4tpu.ops import backend_pallas
-    return backend_pallas.fused_backend_ok(
-        cfg.if_per_block, cfg.audio_up, cfg.audio_taps,
-        cfg.audio_per_block)
+    """Geometry gate for the fused audio back end: the U=1 kernel
+    (ops/backend_pallas.py) or its rational-U twin
+    (ops/resample_pallas.py, modes 2/3)."""
+    from dy4tpu.ops import backend_pallas, resample_pallas
+    return (backend_pallas.fused_backend_ok(
+                cfg.if_per_block, cfg.audio_up, cfg.audio_taps,
+                cfg.audio_per_block)
+            or resample_pallas.fused_rational_ok(
+                cfg.audio_up, cfg.audio_taps, cfg.if_per_block))
+
+
+def fused_rds_backend_ok(cfg: ModeConfig) -> bool:
+    """Geometry gate for the fused RDS back end (quadrature mix ->
+    rational resampler -> RRC, ops/resample_pallas.py)."""
+    if not cfg.supports_rds:
+        return False
+    from dy4tpu.ops import resample_pallas
+    return resample_pallas.fused_rds_backend_ok(
+        cfg.rds_up, cfg.rds_taps, cfg.rds_rrc_taps, cfg.if_per_block,
+        cfg.rds_per_block)
 
 
 def back_step(params: ReceiverParams, bstate: BackState, fo: FrontOut,
@@ -356,9 +371,12 @@ def back_step(params: ReceiverParams, bstate: BackState, fo: FrontOut,
     pair (None when RDS is off).
 
     ``backend``: "stock" (XLA mix + stacked resampler + matrix),
-    "fused" (one Pallas VMEM pass, ops/backend_pallas.py — U=1 modes
-    only), or "auto" (fused on TPU when the geometry fits;
-    env DY4TPU_BACKEND overrides)."""
+    "fused" (one Pallas VMEM pass — ops/backend_pallas.py for the U=1
+    modes, ops/resample_pallas.py per-tile banded matrices for the
+    rational U=147 modes), or "auto" (fused on TPU when the geometry
+    fits; env DY4TPU_BACKEND overrides).  The RDS leg has its own knob:
+    DY4TPU_RDS_BACKEND = stock | fused | auto (default auto — the fused
+    quadrature-mix -> resampler -> RRC pass on TPU)."""
     if backend == "auto":
         import os
         env = os.environ.get("DY4TPU_BACKEND", "auto")
@@ -371,21 +389,29 @@ def back_step(params: ReceiverParams, bstate: BackState, fo: FrontOut,
     if backend == "fused":
         if not fused_backend_ok(cfg):
             raise ValueError(
-                f"backend='fused' requires a U=1 mode with "
-                f"audio_taps-1 <= 128 and 128-divisible block geometry "
-                f"(mode has U={cfg.audio_up}, taps={cfg.audio_taps}); "
-                f"use backend='stock'")
-        from dy4tpu.ops import backend_pallas
+                f"backend='fused' requires audio resampler state "
+                f"(taps-1)//U <= 128 and (for U=1) 128-divisible block "
+                f"geometry (mode has U={cfg.audio_up}, "
+                f"taps={cfg.audio_taps}); use backend='stock'")
+        from dy4tpu.ops import backend_pallas, resample_pallas
         mm = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
               else jnp.bfloat16)
         batch = fo.fm_delayed.shape[:-1]
         flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])  # noqa: E731
         unflat = lambda a: a.reshape(batch + a.shape[1:])  # noqa: E731
-        mono, left, right, mono_tail, stereo_tail = (
-            backend_pallas.fused_audio_backend(
-                flat(fo.fm_delayed), flat(fo.stereo_band), flat(nco),
-                params.audio_coeff, flat(bstate.mono_tail),
-                flat(bstate.stereo_tail), cfg.audio_down, mm_dtype=mm))
+        if cfg.audio_up == 1:
+            mono, left, right, mono_tail, stereo_tail = (
+                backend_pallas.fused_audio_backend(
+                    flat(fo.fm_delayed), flat(fo.stereo_band), flat(nco),
+                    params.audio_coeff, flat(bstate.mono_tail),
+                    flat(bstate.stereo_tail), cfg.audio_down, mm_dtype=mm))
+        else:
+            mono, left, right, mono_tail, stereo_tail = (
+                resample_pallas.fused_audio_backend_rational(
+                    flat(fo.fm_delayed), flat(fo.stereo_band), flat(nco),
+                    params.audio_coeff, flat(bstate.mono_tail),
+                    flat(bstate.stereo_tail), cfg.audio_up,
+                    cfg.audio_down, mm_dtype=mm))
         mono, left, right = unflat(mono), unflat(left), unflat(right)
         mono_tail = unflat(mono_tail)
         stereo_tail = unflat(stereo_tail)
@@ -406,23 +432,49 @@ def back_step(params: ReceiverParams, bstate: BackState, fo: FrontOut,
     bb_i = bb_q = None
     lpf_tail_i = lpf_tail_q = rrc_tail_i = rrc_tail_q = None
     if rds_enabled:
-        # I and Q legs ride a stacked lane through one resampler and one
-        # RRC call (the FIR ops are batched over leading dims)
-        mixed = jnp.stack([mix.mix(nco_i, fo.rds_delayed, gain=1.0),
-                           mix.mix(nco_q, fo.rds_delayed, gain=1.0)],
-                          axis=-2)
-        lpf_tails = jnp.stack([bstate.lpf_tail_i, bstate.lpf_tail_q],
+        import os
+        rds_backend = os.environ.get("DY4TPU_RDS_BACKEND", "auto")
+        if rds_backend == "auto":
+            rds_backend = ("fused" if jax.default_backend() == "tpu"
+                           and fused_rds_backend_ok(cfg) else "stock")
+        if rds_backend == "fused":
+            # quadrature mix + U/D resampler + RRC in one Pallas pass:
+            # the mixed and resampled streams never round-trip HBM
+            from dy4tpu.ops import resample_pallas
+            mm = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
+                  else jnp.bfloat16)
+            batch = fo.rds_delayed.shape[:-1]
+            flat = lambda a: a.reshape(  # noqa: E731
+                (-1,) + a.shape[len(batch):])
+            unflat = lambda a: a.reshape(batch + a.shape[1:])  # noqa: E731
+            (bb_i, bb_q, lpf_tail_i, lpf_tail_q, rrc_tail_i,
+             rrc_tail_q) = (unflat(o) for o in
+                            resample_pallas.fused_rds_backend(
+                flat(fo.rds_delayed), flat(nco_i), flat(nco_q),
+                params.rds_lpf_coeff, params.rds_rrc_coeff,
+                flat(bstate.lpf_tail_i), flat(bstate.lpf_tail_q),
+                flat(bstate.rrc_tail_i), flat(bstate.rrc_tail_q),
+                cfg.rds_up, cfg.rds_down, mm_dtype=mm))
+        else:
+            # I and Q legs ride a stacked lane through one resampler and
+            # one RRC call (the FIR ops are batched over leading dims)
+            mixed = jnp.stack([mix.mix(nco_i, fo.rds_delayed, gain=1.0),
+                               mix.mix(nco_q, fo.rds_delayed, gain=1.0)],
                               axis=-2)
-        lp, lpf_tails = fir.block_fir_resample(
-            mixed, params.rds_lpf_coeff, lpf_tails,
-            up=cfg.rds_up, down=cfg.rds_down, precision=precision)
-        rrc_tails = jnp.stack([bstate.rrc_tail_i, bstate.rrc_tail_q],
-                              axis=-2)
-        bb, rrc_tails = fir.block_fir(lp, params.rds_rrc_coeff, rrc_tails,
-                                      precision=precision)
-        bb_i, bb_q = bb[..., 0, :], bb[..., 1, :]
-        lpf_tail_i, lpf_tail_q = lpf_tails[..., 0, :], lpf_tails[..., 1, :]
-        rrc_tail_i, rrc_tail_q = rrc_tails[..., 0, :], rrc_tails[..., 1, :]
+            lpf_tails = jnp.stack([bstate.lpf_tail_i, bstate.lpf_tail_q],
+                                  axis=-2)
+            lp, lpf_tails = fir.block_fir_resample(
+                mixed, params.rds_lpf_coeff, lpf_tails,
+                up=cfg.rds_up, down=cfg.rds_down, precision=precision)
+            rrc_tails = jnp.stack([bstate.rrc_tail_i, bstate.rrc_tail_q],
+                                  axis=-2)
+            bb, rrc_tails = fir.block_fir(lp, params.rds_rrc_coeff,
+                                          rrc_tails, precision=precision)
+            bb_i, bb_q = bb[..., 0, :], bb[..., 1, :]
+            lpf_tail_i = lpf_tails[..., 0, :]
+            lpf_tail_q = lpf_tails[..., 1, :]
+            rrc_tail_i = rrc_tails[..., 0, :]
+            rrc_tail_q = rrc_tails[..., 1, :]
 
     return (BackState(mono_tail=mono_tail, stereo_tail=stereo_tail,
                       lpf_tail_i=lpf_tail_i, lpf_tail_q=lpf_tail_q,
