@@ -87,18 +87,32 @@ def hann_sq(n: int) -> np.ndarray:
 
 
 def estimate_psd(samples: Array, nfft: int = NFFT, fs: float = 1.0,
-                 ) -> tuple[np.ndarray, Array]:
+                 impl: str = "auto") -> tuple[np.ndarray, Array]:
     """Bartlett PSD estimate in dB (src/fourier.cpp:35-88).
 
     ``samples``: [..., M] with M >= nfft; trailing partial segment dropped.
     Returns ``(freq[nfft/2], psd[..., nfft/2])``.
+
+    ``impl`` selects the segment transform: "pallas" (the in-house
+    four-step MXU kernel, ops/fft_pallas.py — the C12 inventory item),
+    "four_step" (same algorithm as XLA einsums), "jnp" (jnp.fft.fft),
+    or "auto" (pallas on TPU, jnp elsewhere).
     """
     m = samples.shape[-1]
     segs = m // nfft
     freq = np.arange(nfft // 2) * (fs / nfft)
     x = samples[..., :segs * nfft].reshape(
         (*samples.shape[:-1], segs, nfft)) * jnp.asarray(hann_sq(nfft))
-    xf = jnp.fft.fft(x, axis=-1)[..., : nfft // 2]
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        from dy4tpu.ops import fft_pallas
+        xf = fft_pallas.fft_pallas(x)[..., : nfft // 2]
+    elif impl == "four_step":
+        from dy4tpu.ops import fft_pallas
+        xf = fft_pallas.fft_four_step(x)[..., : nfft // 2]
+    else:
+        xf = jnp.fft.fft(x, axis=-1)[..., : nfft // 2]
     psd = (2.0 / (fs * nfft / 2.0)) * jnp.abs(xf) ** 2
     psd_db = 10.0 * jnp.log10(psd)
     return freq, jnp.mean(psd_db, axis=-2)

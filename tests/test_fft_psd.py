@@ -1,3 +1,5 @@
+import functools
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -65,3 +67,43 @@ def test_estimate_psd_matches_naive_bartlett():
         segs.append(10 * np.log10(p))
     ref = np.mean(segs, axis=0)
     np.testing.assert_allclose(np.asarray(psd), ref, atol=1e-2)
+
+
+def test_fft_pallas_four_step_matches_dft():
+    """The Pallas four-step kernel (C12: the TPU-native 'radix' FFT) and
+    its XLA twin cross-validate against the O(N^2) DFT — the reference's
+    own FFT test discipline (test/fft_unittest.cpp:53-90), minus its
+    '10-2' epsilon typo."""
+    from dy4tpu.ops import fft_pallas
+
+    rng = np.random.default_rng(12)
+    for n in (64, 512):
+        x = (rng.standard_normal((4, n))
+             + 1j * rng.standard_normal((4, n))).astype(np.complex64)
+        ref = np.asarray(fft.dft(jnp.asarray(x)))
+        scale = np.abs(ref).max()
+        four = np.asarray(fft_pallas.fft_four_step(jnp.asarray(x)))
+        pal = np.asarray(fft_pallas.fft_pallas(jnp.asarray(x),
+                                               interpret=True))
+        np.testing.assert_allclose(four / scale, ref / scale, atol=1e-5)
+        np.testing.assert_allclose(pal / scale, ref / scale, atol=1e-5)
+
+
+def test_estimate_psd_impls_agree():
+    """All three estimate_psd lowerings produce the same Bartlett PSD
+    (the auto route picks pallas on TPU, jnp elsewhere)."""
+    from unittest import mock
+
+    from dy4tpu.ops import fft_pallas
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    f_j, p_j = fft.estimate_psd(x, nfft=512, fs=48e3, impl="jnp")
+    f_4, p_4 = fft.estimate_psd(x, nfft=512, fs=48e3, impl="four_step")
+    with mock.patch.object(fft_pallas, "fft_pallas",
+                           functools.partial(fft_pallas.fft_pallas,
+                                             interpret=True)):
+        f_p, p_p = fft.estimate_psd(x, nfft=512, fs=48e3, impl="pallas")
+    np.testing.assert_array_equal(f_j, f_4)
+    np.testing.assert_allclose(np.asarray(p_4), np.asarray(p_j), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_j), atol=1e-3)
