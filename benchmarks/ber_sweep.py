@@ -15,7 +15,9 @@ never re-locked on a clean capture); this sweep is the measured decode
 margin of the TPU chain.
 
 Run:  python -m benchmarks.ber_sweep   (CPU ok: DY4TPU_PLATFORM=cpu)
-Env: BER_BLOCKS (default 32), BER_NOISE (comma list of amplitudes).
+Env: BER_MODE (0 or 2 — mode 2 runs the SPS=27 constraint-table config,
+VERDICT r2 item 8), BER_BLOCKS (default 32), BER_NOISE (comma list of
+amplitudes).
 """
 
 import os
@@ -52,6 +54,7 @@ def run_level(cfg, params, n_blocks: int, noise: float, seed: int):
 
     syms = np.asarray(outs.rds_symbols)          # [B, spb]
     resync = np.asarray(outs.rds_resync)
+    offs = np.asarray(outs.rds_offset)
 
     app = ApplicationLayer()
     dec = RDSDecoder(on_group=app.process)
@@ -66,31 +69,51 @@ def run_level(cfg, params, n_blocks: int, noise: float, seed: int):
     halves = coding.manchester_halves(coding.differential_encode(bits))
     tx_sym = (np.asarray(halves) > 0).astype(np.int8)
     rx = syms.ravel()
-    start = 4 * cfg.rds_symbols_per_block     # skip lock-in
-    a = rx[start:]
-    best = 1.0
-    for lag in range(-160, 161):              # rx delayed vs tx by the
-        s = start - lag                       # chain's group delay
-        if s < 0:
+    spb = cfg.rds_symbols_per_block
+
+    # A CDR re-acquisition that lands on a DIFFERENT sampling phase
+    # shifts the downstream symbol alignment; a single best-lag over the
+    # whole stream would book the post-resync stretch as errors even
+    # when every group still decodes.  Align each offset-stable segment
+    # independently (blocks 4.. to skip lock-in) and weight by length.
+    cuts = [b for b in range(5, n_blocks)
+            if resync[b] and offs[b] != offs[b - 1]]
+    bounds = [4] + cuts + [n_blocks]
+    err_total = 0.0
+    n_total = 0
+    for b0, b1 in zip(bounds, bounds[1:]):
+        a = rx[b0 * spb:b1 * spb]
+        if len(a) <= 100:
             continue
-        n = min(len(a), len(tx_sym) - s)
-        if n <= 100:
-            continue
-        b0 = tx_sym[s:s + n]
-        err = float(np.mean(a[:n] != b0))
-        best = min(best, err, 1.0 - err)
+        best = 1.0
+        for lag in range(-160, 161):          # rx delayed vs tx by the
+            s = b0 * spb - lag                # chain's group delay
+            if s < 0:
+                continue
+            n = min(len(a), len(tx_sym) - s)
+            if n <= 100:
+                continue
+            t0 = tx_sym[s:s + n]
+            err = float(np.mean(a[:n] != t0))
+            best = min(best, err, 1.0 - err)
+        err_total += best * len(a)
+        n_total += len(a)
+    best = err_total / max(n_total, 1)
     groups_tx = n_blocks * cfg.rds_symbols_per_block // (2 * 26 * 4)
     ok_groups = sum(1 for g in dec.groups if g.pi == PI)
     return best, ok_groups, groups_tx, app.info.pi_hex
 
 
 def main():
-    cfg = get_mode(0)
+    mode = int(os.environ.get("BER_MODE", 0))
+    cfg = get_mode(mode)
+    if not cfg.supports_rds:
+        raise SystemExit(f"mode {mode} has no RDS path")
     params = receiver.make_params(cfg)
     n_blocks = int(os.environ.get("BER_BLOCKS", 32))
     levels = [float(x) for x in os.environ.get(
         "BER_NOISE", "0,0.2,0.4,0.5,0.6,0.8").split(",")]
-    print(f"mode 0, {n_blocks} blocks "
+    print(f"mode {mode} (SPS={cfg.rds_sps}), {n_blocks} blocks "
           f"({n_blocks * cfg.rds_symbols_per_block // 2} data bits); "
           f"noise = additive IQ amplitude vs unit FM envelope")
     print(f"{'noise':>6s} {'~SNR dB':>8s} {'sym BER':>9s} "

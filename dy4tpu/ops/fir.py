@@ -229,16 +229,20 @@ def block_fir_bank(x: Array, hs: Array, states: Array, *,
 
     Used to fuse the pilot/stereo/RDS-band/RDS-carrier band-pass filters
     that all read ``fm_demod`` (project.cpp:120-121, fmMonoBlock.py:652-653,
-    673).  ``hs``: [F, K]; ``states``: [..., F, K-1]; returns
-    ``y: [..., F, N]`` and new states.
+    673).  ``hs``: [F, K]; ``states``: either [..., K-1] (ONE shared
+    history — the filters all read the same stream, so its last K-1
+    samples serve every row; this is what ``ReceiverState`` carries) or
+    [..., F, K-1] (independent per-filter histories, full generality).
+    Returns ``y: [..., F, N]`` and new states in the same form.
     """
     f, k = hs.shape
     n = x.shape[-1]
     batch_shape = x.shape[:-1]
     s = k - 1
-    # Each filter has its own carried tail, but the tails are all just the
-    # last K-1 samples of the *same* input stream, so they stay per-filter
-    # only for generality (callers may seed them differently).
+    shared = states.ndim == x.ndim           # [..., K-1]: one history
+    if shared:
+        states = jnp.broadcast_to(states[..., None, :],
+                                  (*batch_shape, f, s))
     x_b = jnp.broadcast_to(x[..., None, :], (*batch_shape, f, n))
     x_ext = jnp.concatenate([states, x_b], axis=-1)    # [..., F, S+N]
     if impl == "auto":
@@ -246,7 +250,7 @@ def block_fir_bank(x: Array, hs: Array, states: Array, *,
     if impl == "matmul":
         y = _fir_matmul(x_ext, hs, up=1, down=1, pad_lo=0, m=n,
                         precision=precision)
-        return y, x_b[..., n - s:]
+        return y, (x[..., n - s:] if shared else x_b[..., n - s:])
     rhs = jnp.flip(hs, -1).reshape((f, 1, k))          # [F, 1, K]
     # Group the F filters as feature groups: batch stays B, features F.
     lhs = x_ext.reshape((-1, f, s + n))                # [B, F, S+N]
@@ -259,7 +263,7 @@ def block_fir_bank(x: Array, hs: Array, states: Array, *,
         precision=precision,
     )                                                   # [B, F, N]
     y = out.reshape((*batch_shape, f, n))
-    new_states = x_b[..., n - s:]
+    new_states = x[..., n - s:] if shared else x_b[..., n - s:]
     return y, new_states
 
 

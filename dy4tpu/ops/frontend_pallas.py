@@ -603,11 +603,10 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     Contract mirrors the stock ``front_step`` composition exactly
     (fir.block_fir_decim + demod + mix.delay_block + fir.block_fir_bank
     + squaring + carrier block_fir), consuming and producing the same
-    FrontState field values.  One narrowing vs block_fir_bank's
-    generality: all band filters read ``bank_tail[..., 0, :]`` as their
-    history — in the receiver the F tails are always identical copies of
-    the fm stream's last K-1 samples (fir.py:239-241); callers that
-    seed the rows DIFFERENTLY must use the stock path.  Returns
+    FrontState field values.  ``bank_tail`` is the SHARED band-bank
+    history ([C, K-1] — the same form ReceiverState carries and
+    block_fir_bank's shared-state mode accepts: all band filters read
+    the same fm stream).  Returns
     ``(fm_delayed, pilot, stereo, carrier|None, rds_delayed|None,
     new_iq_tail, new_prev_i, new_prev_q, new_bank_tail, new_mono_delay,
     new_carrier_tail|None, new_rds_delay|None)``.
@@ -639,7 +638,7 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     tail_raw, prev = _raw_tail_prev(iq_tail, prev_i, prev_q, k, w0)
 
     rpad = lambda a: jnp.pad(a, ((0, 0), (_T - a.shape[-1], 0)))  # noqa: E731
-    bank_hist = rpad(bank_tail[..., 0, :])
+    bank_hist = rpad(bank_tail)
     fmdel_hist = rpad(mono_delay)
 
     ins = [sum_h.reshape(1, 1), iq_u8, tail_raw, prev, hr, hb,
@@ -706,9 +705,7 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
         carrier = rdsdel = sq_last = rds_last = None
 
     new_tail = _new_iq_tail(iq_u8, k)
-    nbk = bank_tail.shape[-2]
-    new_bank = jnp.broadcast_to(fm_last[:, _T - (kb - 1):][:, None, :],
-                                (c, nbk, kb - 1))
+    new_bank = fm_last[:, _T - (kb - 1):]
     new_mono = fm_last[:, _T - delay:]
     new_carrier = None if sq_last is None else sq_last[:, _T - (kb - 1):]
     new_rdsdel = None if rds_last is None else rds_last[:, _T - delay:]

@@ -54,7 +54,11 @@ class RFState(NamedTuple):
 class AudioState(NamedTuple):
     mono_delay: Array      # [..., taps//2] all-pass delay line
     mono_tail: Array       # [..., (taps*U-1)//U] mono resampler tail
-    bank_tail: Array       # [..., F, taps-1] pilot/stereo/RDS-band tails
+    bank_tail: Array       # [..., taps-1] ONE shared band-bank history:
+    #                        pilot/stereo/RDS-band all filter the same fm
+    #                        stream, so its last taps-1 samples serve
+    #                        every row (the state encodes the invariant
+    #                        the fused kernel relies on)
     stereo_tail: Array     # [..., (taps*U-1)//U] post-mix resampler tail
     pll: pll.PLLState      # stereo pilot PLL
 
@@ -527,13 +531,12 @@ def init_state(cfg: ModeConfig, batch: tuple[int, ...] = (),
     t = cfg.num_taps
     z = lambda *s: jnp.zeros((*batch, *s), dtype)  # noqa: E731
     rds_on = _rds_on(cfg, with_rds)
-    n_bank = 3 if rds_on else 2
     audio_tail = fir.state_len(cfg.audio_taps, cfg.audio_up)
     rf = RFState(iq_tail=z(2, t - 1), prev_i=z(), prev_q=z())
     audio = AudioState(
         mono_delay=z(t // 2),
         mono_tail=z(audio_tail),
-        bank_tail=z(n_bank, t - 1),
+        bank_tail=z(t - 1),
         stereo_tail=z(audio_tail),
         pll=pll.init_state(batch, dtype),
     )
