@@ -5,7 +5,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-run() { echo; echo "### $*"; shift 0; timeout 1800 "$@"; }
+run() { echo; echo "### $1"; shift; timeout 1800 "$@"; }
 
 # 1. Headline (BENCH_r03 shape): mode-0 full chain, serving point
 run "mode-0 chain (default knobs)" python bench.py

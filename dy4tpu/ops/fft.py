@@ -104,7 +104,23 @@ def estimate_psd(samples: Array, nfft: int = NFFT, fs: float = 1.0,
     x = samples[..., :segs * nfft].reshape(
         (*samples.shape[:-1], segs, nfft)) * jnp.asarray(hann_sq(nfft))
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        # measured on v5e (benchmarks/micro_fft.py, 4096x512 chained):
+        # pallas 2.27 ms / four_step-XLA 2.53 / jnp.fft 45.2 — the MXU
+        # four-step beats the generic FFT lowering 20x at PSD shapes
+        from dy4tpu.ops import fft_pallas
+        if jax.default_backend() == "tpu":
+            impl = ("pallas" if fft_pallas.pallas_supported(nfft)
+                    else "four_step")
+        else:
+            impl = "jnp"
+    # jitted (cached per impl/nfft/fs/shape): the tunnel's eager
+    # dispatch path cannot run pallas_call or fetch complex arrays,
+    # and psdview/logging call this outside any jit
+    return freq, _psd_segments(x, nfft, float(fs), impl)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _psd_segments(x: Array, nfft: int, fs: float, impl: str) -> Array:
     if impl == "pallas":
         from dy4tpu.ops import fft_pallas
         xf = fft_pallas.fft_pallas(x)[..., : nfft // 2]
@@ -115,7 +131,7 @@ def estimate_psd(samples: Array, nfft: int = NFFT, fs: float = 1.0,
         xf = jnp.fft.fft(x, axis=-1)[..., : nfft // 2]
     psd = (2.0 / (fs * nfft / 2.0)) * jnp.abs(xf) ** 2
     psd_db = 10.0 * jnp.log10(psd)
-    return freq, jnp.mean(psd_db, axis=-2)
+    return jnp.mean(psd_db, axis=-2)
 
 
 def vector_magnitude(xf: Array) -> Array:
