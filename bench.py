@@ -17,10 +17,14 @@ PI/PS recovery on a probe channel — the headline number implies decode
 correctness every round.
 
 Modes (env BENCH_MODE):
-  chain   (default) single-chip full-chain throughput
-  sharded time-sharded ShardedReceiver across all visible devices;
-          reports scaling efficiency vs the plain sequential scan
-          (BASELINE scaling protocol, VERDICT r1 item 2)
+  chain    (default) single-chip full-chain throughput
+  sharded  time-sharded ShardedReceiver across all visible devices;
+           reports scaling efficiency vs the plain sequential scan
+           (BASELINE scaling protocol, VERDICT r1 item 2)
+  wideband channelizer front door: B wideband band captures ->
+           B x C_bank stations through one step (BENCH_WB_CHANNELS
+           bank size, BENCH_WB_BATCH bands); value = wideband complex
+           MS/s, vs_baseline = whole FM bands decoded in real time
 
 Other knobs: BENCH_RADIO_MODE (0-3: which reference mode's chain to
 bench — RDS validation applies to the RDS-capable modes 0/2),
@@ -183,6 +187,87 @@ def bench_chain() -> None:
     }))
 
 
+def bench_wideband() -> None:
+    """Channelizer front door: B wideband captures (C_bank stations
+    each) through `wideband_step` — filter bank + B*C_bank full
+    receivers in one jitted scan.  Self-validating like the chain
+    bench: stereo separation + RDS PI/PS on a probe station."""
+    from dy4tpu.pipeline import wideband
+    from dy4tpu.rds import coding
+    from dy4tpu.tx import fm
+
+    cfg = get_mode(0)
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    c_bank = int(os.environ.get("BENCH_WB_CHANNELS", 16))
+    batch = int(os.environ.get("BENCH_WB_BATCH", 32 if on_tpu else 1))
+    n_steps = int(os.environ.get("BENCH_BLOCKS", 32 if on_tpu else 2))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
+    precision = _precision()
+    station = min(3, c_bank - 1)
+
+    n_audio = n_steps * cfg.audio_per_block
+    bits = coding.make_ps_bitstream(PI_CODE, 10, PS_NAME,
+                                    repeats=max(2, n_steps))
+    wb = fm.synthesize_wideband(
+        cfg, c_bank, n_steps,
+        stations={station: dict(
+            left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.7),
+            right=fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.7),
+            rds_bits=bits)})
+    step_u8 = 2 * c_bank * cfg.if_per_block
+    one = jnp.asarray(wb.reshape(n_steps, step_u8))
+
+    @jax.jit
+    def tile(x):
+        return jnp.broadcast_to(x[:, None, :],
+                                (n_steps, batch, step_u8)) + jnp.uint8(0)
+
+    blocks = tile(one)
+    jax.block_until_ready(blocks)
+
+    params = receiver.make_params(cfg)
+    chan = wideband.make_wideband(cfg, c_bank)
+    state = wideband.wideband_init(cfg, chan, batch=(batch,))
+
+    @jax.jit
+    def run(state, blocks):
+        def body(st, blk):
+            st, out = wideband.wideband_step(params, chan, st, blk, cfg,
+                                             precision=precision)
+            rx = out.rx
+            return st, (rx.mono, rx.left, rx.right, rx.rds_symbols,
+                        rx.rds_resync)
+        return lax.scan(body, state, blocks)
+
+    st, outs = run(state, blocks)
+    np.asarray(outs[0][..., :1])
+    if os.environ.get("BENCH_VALIDATE", "1") != "0" and n_steps >= 16:
+        # probe batch 0, the live station's channel: same bar as chain
+        probe = tuple(o[:, 0, station:station + 1] for o in outs)
+        _validate(cfg, probe, n_steps)
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        st, outs = run(st, blocks)
+    _fetch = np.asarray(outs[0][..., :1])
+    wall = time.perf_counter() - t0
+
+    best = wall / repeats
+    wb_samples = n_steps * batch * c_bank * cfg.if_per_block
+    msps = wb_samples / best / 1e6
+    bands_rt = msps * 1e6 / (c_bank * cfg.if_fs)
+    print(f"wideband: {batch} bands x {c_bank} ch x {n_steps} steps; "
+          f"{msps:.0f} MS/s wideband IQ = {bands_rt:.1f} bands "
+          f"({batch * c_bank} stations) live", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"wideband_channelizer_{c_bank}ch_iq_throughput_per_chip",
+        "value": round(msps, 3),
+        "unit": "MS/s",
+        "vs_baseline": round(bands_rt, 2),
+    }))
+
+
 def bench_sharded() -> None:
     """Scaling protocol: exact time-sharded receiver over all visible
     devices vs the plain sequential scan on one device.
@@ -319,6 +404,8 @@ def main() -> None:
         _wait_for_backend()
         if mode == "sharded":
             bench_sharded()
+        elif mode == "wideband":
+            bench_wideband()
         else:
             bench_chain()
     except Exception as e:  # noqa: BLE001 — one JSON line, never a bare

@@ -2,4 +2,5 @@
 src/fourier.cpp, re-designed around XLA convolutions, batched scans and
 matmul transforms)."""
 
-from dy4tpu.ops import demod, fft, fir, firdes, mix, pll  # noqa: F401
+from dy4tpu.ops import (channelizer, demod, fft, fir, firdes,  # noqa: F401
+                        mix, pll)

@@ -313,7 +313,16 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                                                      fstate.rf.prev_i,
                                                      fstate.rf.prev_q)
     new_rf = RFState(iq_tail=iq_tail, prev_i=prev_i, prev_q=prev_q)
+    return _front_post_demod(params, fstate, fm, new_rf, precision,
+                             rds_enabled)
 
+
+def _front_post_demod(params: ReceiverParams, fstate: FrontState,
+                      fm: Array, new_rf: RFState, precision,
+                      rds_enabled: bool) -> tuple[FrontState, FrontOut]:
+    """Everything between the FM demod output and the PLLs (shared by
+    the RF-entry stock/fused-rf/fused-phase paths and the IF-entry
+    channelizer path)."""
     # ---- mono path delay (project.cpp:109-116) ----
     fm_delayed, mono_delay = mix.delay_block(fm, fstate.mono_delay)
 
@@ -339,6 +348,29 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
             FrontOut(fm_delayed=fm_delayed, pilot=pilot,
                      stereo_band=stereo_band, carrier=carrier,
                      rds_delayed=rds_delayed))
+
+
+def front_step_if(params: ReceiverParams, fstate: FrontState,
+                  i_if: Array, q_if: Array, cfg: ModeConfig, *,
+                  precision=jax.lax.Precision.HIGHEST,
+                  rds_enabled: bool = True
+                  ) -> tuple[FrontState, FrontOut]:
+    """IF-entry front half: consume per-channel complex baseband at the
+    IF rate (e.g. from ``ops/channelizer.py``) instead of raw RF u8.
+
+    Skips the RF LPF + decimation (a DFT-filter-bank channelizer has
+    already band-limited and decimated each channel); FM demod onward is
+    identical to ``front_step``.  ``i_if``/``q_if``: [..., if_per_block].
+    The RF ``iq_tail`` slot is carried through untouched so the state
+    pytree stays interchangeable with the RF-entry receiver's.
+    """
+    fm, prev_i, prev_q = demod.fm_demod_diff(i_if, q_if,
+                                             fstate.rf.prev_i,
+                                             fstate.rf.prev_q)
+    new_rf = RFState(iq_tail=fstate.rf.iq_tail, prev_i=prev_i,
+                     prev_q=prev_q)
+    return _front_post_demod(params, fstate, fm, new_rf, precision,
+                             rds_enabled)
 
 
 def fused_backend_ok(cfg: ModeConfig) -> bool:
@@ -624,7 +656,32 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
     fstate, fo = front_step(params, front_state_of(state), iq_u8, cfg,
                             precision=precision, rds_enabled=rds_enabled,
                             frontend=frontend, demod_kind=demod_kind)
+    return _finish_step(params, state, fstate, fo, cfg, precision,
+                        rds_enabled, backend)
 
+
+def receiver_step_if(params: ReceiverParams, state: ReceiverState,
+                     i_if: Array, q_if: Array, cfg: ModeConfig,
+                     precision=jax.lax.Precision.HIGHEST,
+                     with_rds: Optional[bool] = None,
+                     backend: str = "auto"
+                     ) -> tuple[ReceiverState, StepOutputs]:
+    """Process one block of IF-rate complex baseband (I/Q at
+    ``cfg.if_fs``), e.g. one channel of ``ops/channelizer.py``'s DFT
+    filter bank.  Identical to ``receiver_step`` from the FM demod
+    onward; the RF LPF+decimate stage is the channelizer's job."""
+    rds_enabled = _rds_on(cfg, with_rds) and state.rds is not None
+    fstate, fo = front_step_if(params, front_state_of(state), i_if, q_if,
+                               cfg, precision=precision,
+                               rds_enabled=rds_enabled)
+    return _finish_step(params, state, fstate, fo, cfg, precision,
+                        rds_enabled, backend)
+
+
+def _finish_step(params: ReceiverParams, state: ReceiverState,
+                 fstate: FrontState, fo: FrontOut, cfg: ModeConfig,
+                 precision, rds_enabled: bool, backend: str
+                 ) -> tuple[ReceiverState, StepOutputs]:
     # ---- stereo + RDS PLLs (project.cpp:118-133; fmMonoBlock.py:683) ----
     if rds_enabled:
         # stack the pilot (19 kHz, x2, bw .01) and RDS carrier (114 kHz,

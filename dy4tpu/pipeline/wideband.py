@@ -1,0 +1,98 @@
+"""Wideband multi-station receiver: channelizer -> C parallel receivers.
+
+Beyond-parity pipeline (the reference consumes ONE pre-tuned station,
+`src/project.cpp:137-174`; this is how a production deployment would
+actually feed the C-channel receiver): one complex capture at
+``fs_w = C * cfg.if_fs`` is split by the polyphase DFT filter bank
+(`ops/channelizer.py`) into C critically-sampled basebands at the IF
+rate, and the bank's channel axis lands directly on the receiver's
+batch axis — every station then rides the SAME fused mono+stereo+RDS
+chain from the FM demod onward (`receiver.receiver_step_if`).
+
+The whole step stays one pure static-shaped function: jit/scan/
+shard_map-safe, state in one pytree (checkpointing and the sharded
+disciplines apply unchanged).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dy4tpu.config import ModeConfig
+from dy4tpu.ops.channelizer import (ChannelizerParams, ChannelizerState,
+                                    channelize_block,
+                                    init_channelizer_state,
+                                    make_channelizer, rssi_dbfs)
+from dy4tpu.pipeline import receiver
+
+Array = jax.Array
+
+
+class WidebandState(NamedTuple):
+    chan: ChannelizerState
+    rx: receiver.ReceiverState
+
+
+class WidebandOutputs(NamedTuple):
+    rx: receiver.StepOutputs   # per-station audio/RDS, channel axis first
+    rssi: Array                # [..., C] per-channel dBFS (squelch/scan)
+
+
+def make_wideband(cfg: ModeConfig, channels: int, *,
+                  taps_per_branch: int = 12) -> ChannelizerParams:
+    """Design the bank matched to a mode: spacing = output rate =
+    ``cfg.if_fs`` (so channel c sits on carrier ``+c * cfg.if_fs``)."""
+    return make_channelizer(channels, cfg.if_fs,
+                            taps_per_branch=taps_per_branch)
+
+
+def wideband_init(cfg: ModeConfig, chan: ChannelizerParams,
+                  batch: tuple[int, ...] = (),
+                  with_rds: Optional[bool] = None) -> WidebandState:
+    """State for ``wideband_step``: channelizer tail + a C-channel
+    receiver state (the channel axis is the receiver batch axis)."""
+    c = chan.channels
+    return WidebandState(
+        chan=init_channelizer_state(chan, batch=batch),
+        rx=receiver.init_state(cfg, batch=(*batch, c), with_rds=with_rds))
+
+
+def wideband_step(params: receiver.ReceiverParams,
+                  chan: ChannelizerParams, state: WidebandState,
+                  wb_u8: Array, cfg: ModeConfig,
+                  precision=jax.lax.Precision.HIGHEST,
+                  with_rds: Optional[bool] = None,
+                  backend: str = "auto"
+                  ) -> tuple[WidebandState, WidebandOutputs]:
+    """One wideband block -> every station's audio + RDS outputs + RSSI.
+
+    ``wb_u8``: [..., 2 * C * cfg.if_per_block] interleaved u8 IQ at
+    ``fs_w = C * cfg.if_fs`` (same u8 contract as the RF receiver,
+    iofunc.cpp:113-120).  ``out.rx`` holds the RF receiver's outputs
+    with a channel axis (mono/left/right [..., C, audio_per_block], RDS
+    streams [..., C, ...]); ``out.rssi`` [..., C] is the per-channel
+    signal strength for squelch / station scanning.
+    """
+    c = chan.channels
+    n_w = c * cfg.if_per_block
+    assert wb_u8.shape[-1] == 2 * n_w, (wb_u8.shape, 2 * n_w)
+    x = (wb_u8.astype(jnp.float32) - 128.0) / 128.0
+    (y_i, y_q), chan_state = channelize_block(
+        chan, state.chan, x[..., 0::2], x[..., 1::2], precision=precision)
+    rx_state, out = receiver.receiver_step_if(
+        params, state.rx, y_i, y_q, cfg, precision=precision,
+        with_rds=with_rds, backend=backend)
+    return (WidebandState(chan=chan_state, rx=rx_state),
+            WidebandOutputs(rx=out, rssi=rssi_dbfs(y_i, y_q)))
+
+
+def run_wideband_blocks(params, chan: ChannelizerParams,
+                        state: WidebandState, wb_blocks: Array,
+                        cfg: ModeConfig, **kw):
+    """Scan ``wideband_step`` over [num_blocks, ..., 2*C*if_per_block]."""
+    def body(st, blk):
+        return wideband_step(params, chan, st, blk, cfg, **kw)
+    return jax.lax.scan(body, state, wb_blocks)

@@ -33,6 +33,15 @@ def main(argv=None) -> int:
     p.add_argument("--pty", type=int, default=10)
     p.add_argument("--noise", type=float, default=0.0,
                    help="additive IQ noise sigma")
+    p.add_argument("--wideband", type=int, default=0, metavar="C",
+                   help="synthesize a C-channel wideband capture at "
+                        "fs = C * if_fs instead of one RF station "
+                        "(input for dy4tpu.tools.wideband)")
+    p.add_argument("--stations", default="1",
+                   help="with --wideband: comma-separated channel "
+                        "indices to place stations on; station on "
+                        "channel c gets tones 500+100c / 2000+100c Hz, "
+                        "PI 0x5400+c, PS 'WB CH-xx'")
     args = p.parse_args(argv)
 
     from dy4tpu.config import get_mode
@@ -41,6 +50,38 @@ def main(argv=None) -> int:
 
     cfg = get_mode(args.mode)
     n_audio = args.blocks * cfg.audio_per_block
+
+    if args.wideband:
+        c = args.wideband
+        chans = sorted({int(s) for s in args.stations.split(",")
+                        if s.strip()})
+        stations = {}
+        for ch in chans:
+            if not 0 <= ch < c:
+                print(f"station channel {ch} outside [0, {c})",
+                      file=sys.stderr)
+                return 2
+            kw: dict = {
+                "left": fm.tone(500.0 + 100.0 * ch, cfg.audio_fs,
+                                n_audio, amp=0.8),
+                "right": fm.tone(2000.0 + 100.0 * ch, cfg.audio_fs,
+                                 n_audio, amp=0.8)}
+            if cfg.supports_rds:
+                repeats = max(8, int(args.blocks * cfg.audio_per_block
+                                     / cfg.audio_fs * 1187.5 / 104) + 8)
+                kw["rds_bits"] = coding.make_ps_bitstream(
+                    0x5400 + ch, args.pty, f"WB CH-{ch:02d}"[:8],
+                    repeats=repeats)
+            stations[ch] = kw
+        iq = fm.synthesize_wideband(cfg, c, args.blocks,
+                                    stations=stations, noise=args.noise)
+        iq.tofile(args.outfile)
+        secs = args.blocks * cfg.if_per_block / cfg.if_fs
+        print(f"wrote {args.outfile}: mode {args.mode} wideband x{c} "
+              f"({cfg.if_fs * c / 1e6:.2f} MHz), stations {chans}, "
+              f"{args.blocks} steps ({secs:.2f}s, {len(iq)} bytes)",
+              file=sys.stderr)
+        return 0
     left = (fm.tone(args.left, cfg.audio_fs, n_audio, amp=0.7)
             if args.left else None)
     right = (fm.tone(args.right, cfg.audio_fs, n_audio, amp=0.7)

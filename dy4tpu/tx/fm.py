@@ -46,19 +46,15 @@ def rds_baseband(bits, cfg: ModeConfig, n_if: int) -> np.ndarray:
     return wave[:n_if]
 
 
-def synthesize(cfg: ModeConfig, n_blocks: int, *,
-               left: np.ndarray | None = None,
-               right: np.ndarray | None = None,
-               rds_bits=None,
-               a_mono: float = 0.45, a_pilot: float = 0.10,
-               a_stereo: float = 0.45, a_rds: float = 0.06,
-               kf: float = 75e3, noise: float = 0.0,
-               seed: int = 0) -> np.ndarray:
-    """Generate ``n_blocks`` blocks of interleaved u8 IQ for a mode.
-
-    ``left``/``right``: audio at cfg.audio_fs (zero-padded/truncated to
-    fit); None -> silence.  Returns uint8 [n_blocks * block_size].
-    """
+def multiplex(cfg: ModeConfig, n_blocks: int, *,
+              left: np.ndarray | None = None,
+              right: np.ndarray | None = None,
+              rds_bits=None,
+              a_mono: float = 0.45, a_pilot: float = 0.10,
+              a_stereo: float = 0.45, a_rds: float = 0.06) -> np.ndarray:
+    """The composite FM multiplex m(t) at the IF rate (length
+    ``n_blocks * cfg.if_per_block``) — shared by the single-station RF
+    synthesiser and the wideband multi-station one."""
     n_if = n_blocks * cfg.if_per_block
     n_audio = n_blocks * cfg.audio_per_block
 
@@ -83,6 +79,25 @@ def synthesize(cfg: ModeConfig, n_blocks: int, *,
          + a_stereo * ((l_if - r_if) / 2) * np.cos(2 * theta))
     if rds_bits is not None and cfg.supports_rds:
         m = m + a_rds * rds_baseband(rds_bits, cfg, n_if) * np.cos(3 * theta)
+    return m
+
+
+def synthesize(cfg: ModeConfig, n_blocks: int, *,
+               left: np.ndarray | None = None,
+               right: np.ndarray | None = None,
+               rds_bits=None,
+               a_mono: float = 0.45, a_pilot: float = 0.10,
+               a_stereo: float = 0.45, a_rds: float = 0.06,
+               kf: float = 75e3, noise: float = 0.0,
+               seed: int = 0) -> np.ndarray:
+    """Generate ``n_blocks`` blocks of interleaved u8 IQ for a mode.
+
+    ``left``/``right``: audio at cfg.audio_fs (zero-padded/truncated to
+    fit); None -> silence.  Returns uint8 [n_blocks * block_size].
+    """
+    m = multiplex(cfg, n_blocks, left=left, right=right,
+                  rds_bits=rds_bits, a_mono=a_mono, a_pilot=a_pilot,
+                  a_stereo=a_stereo, a_rds=a_rds)
 
     # IF -> RF rate, then FM modulate
     m_rf = sp.resample_poly(m, cfg.rf_decim, 1)
@@ -105,3 +120,43 @@ def tone(freq: float, fs: float, n: int, amp: float = 1.0,
          phase: float = 0.0) -> np.ndarray:
     """Test tone (equivalent of generateSin, src/genfunc.cpp:13-24)."""
     return amp * np.sin(2 * np.pi * freq * np.arange(n) / fs + phase)
+
+
+def synthesize_wideband(cfg: ModeConfig, channels: int, n_steps: int, *,
+                        stations: dict[int, dict],
+                        kf: float = 75e3, amp: float | None = None,
+                        noise: float = 0.0, seed: int = 0) -> np.ndarray:
+    """Multi-station wideband capture for ``ops/channelizer.py``.
+
+    One complex stream at ``fs_w = channels * cfg.if_fs`` holding an FM
+    station on carrier ``+c * cfg.if_fs`` for each entry of
+    ``stations`` — ``{channel_index: multiplex kwargs}`` (left/right/
+    rds_bits/a_*).  Returns interleaved u8 IQ of length
+    ``2 * n_steps * channels * cfg.if_per_block``.  ``amp`` is the
+    per-station amplitude (default ``0.9 / len(stations)``).
+    """
+    n_if = n_steps * cfg.if_per_block
+    n_w = n_if * channels
+    fs_w = cfg.if_fs * channels
+    if amp is None:
+        amp = 0.9 / max(1, len(stations))
+
+    x = np.zeros(n_w, np.complex128)
+    n = np.arange(n_w)
+    for c, kw in stations.items():
+        if not 0 <= c < channels:
+            raise ValueError(f"station channel {c} outside [0, {channels})")
+        m = multiplex(cfg, n_steps, **kw)
+        m_w = sp.resample_poly(m, channels, 1)
+        m_w = np.pad(m_w[:n_w], (0, max(0, n_w - len(m_w))))
+        phase = 2 * np.pi * kf / fs_w * np.cumsum(m_w)
+        x = x + amp * np.exp(1j * (phase + 2 * np.pi * c * n / channels))
+
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        x = x + noise * (rng.standard_normal(n_w)
+                         + 1j * rng.standard_normal(n_w))
+
+    iq = np.empty(2 * n_w, np.float64)
+    iq[0::2], iq[1::2] = x.real, x.imag
+    return np.clip(np.round(iq * 100.0 + 128.0), 0, 255).astype(np.uint8)

@@ -1,0 +1,252 @@
+"""Polyphase DFT filter-bank channelizer + wideband multi-station e2e.
+
+Beyond-parity component (the reference consumes ONE pre-tuned station,
+src/project.cpp:137-174).  Checks, in order of increasing integration:
+
+1. the filter-bank math against a direct O(C*M*K) evaluation of the
+   defining sum  y_c[m] = sum_k h[k] x[mC-k] e^{-j 2pi c (mC-k)/C};
+2. the streaming property (carried tail makes output independent of the
+   block cut, same bar as the receiver's, spec p.5);
+3. frequency-domain behavior: a tone near carrier c lands in channel c,
+   downconverted, and nowhere else;
+4. the full wideband pipeline: two FM stations synthesized onto one
+   wideband capture, channelized, and decoded by the batched receiver
+   (`receiver_step_if`) with per-station tone recovery.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dy4tpu.config import get_mode
+from dy4tpu.ops import channelizer as chz
+from dy4tpu.pipeline import wideband
+from dy4tpu.tx import fm
+
+
+def _naive_channelize(h, channels, x, tail):
+    """Direct evaluation of the defining filter-bank sum (complex x)."""
+    k = len(h)
+    assert len(tail) == k - 1
+    ext = np.concatenate([tail, x])  # ext[j] = x[j - (K-1)]
+    m_out = len(x) // channels
+    y = np.zeros((channels, m_out), np.complex128)
+    for c in range(channels):
+        for m in range(m_out):
+            n = m * channels
+            ks = np.arange(k)
+            y[c, m] = np.sum(h * ext[n + k - 1 - ks]
+                             * np.exp(-2j * np.pi * c * (n - ks) / channels))
+    return y
+
+
+def test_channelizer_vs_naive():
+    channels, t, m_out = 8, 4, 12
+    params = chz.make_channelizer(channels, 240e3, taps_per_branch=t)
+    k = channels * t
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(channels * m_out)
+         + 1j * rng.standard_normal(channels * m_out))
+    tail = (rng.standard_normal(k - 1) + 1j * rng.standard_normal(k - 1))
+
+    want = _naive_channelize(np.asarray(params.h, np.float64),
+                             channels, x, tail)
+
+    state = chz.ChannelizerState(
+        tail_i=jnp.asarray(tail.real, jnp.float32),
+        tail_q=jnp.asarray(tail.imag, jnp.float32))
+    (y_i, y_q), _ = chz.channelize_block(
+        params, state,
+        jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32))
+
+    np.testing.assert_allclose(np.asarray(y_i), want.real, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y_q), want.imag, atol=2e-4)
+
+
+def test_channelizer_batched_matches_unbatched():
+    """A leading batch axis is just vmap-by-broadcast: same numbers."""
+    channels = 4
+    params = chz.make_channelizer(channels, 240e3, taps_per_branch=6)
+    rng = np.random.default_rng(1)
+    xb = rng.standard_normal((3, channels * 16)).astype(np.float32)
+    yb = rng.standard_normal((3, channels * 16)).astype(np.float32)
+
+    st_b = chz.init_channelizer_state(params, batch=(3,))
+    (bi, bq), _ = chz.channelize_block(params, st_b,
+                                       jnp.asarray(xb), jnp.asarray(yb))
+    for b in range(3):
+        st = chz.init_channelizer_state(params)
+        (si, sq), _ = chz.channelize_block(params, st,
+                                           jnp.asarray(xb[b]),
+                                           jnp.asarray(yb[b]))
+        np.testing.assert_allclose(np.asarray(bi[b]), np.asarray(si),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bq[b]), np.asarray(sq),
+                                   atol=1e-6)
+
+
+def test_channelizer_block_continuity():
+    """Carried tail: one 2N-block == two N-blocks concatenated, exactly."""
+    channels = 8
+    params = chz.make_channelizer(channels, 240e3)
+    n_w = channels * 24
+    rng = np.random.default_rng(2)
+    xi = rng.standard_normal(2 * n_w).astype(np.float32)
+    xq = rng.standard_normal(2 * n_w).astype(np.float32)
+
+    st = chz.init_channelizer_state(params)
+    (wi, wq), _ = chz.channelize_block(params, st,
+                                       jnp.asarray(xi), jnp.asarray(xq))
+
+    st = chz.init_channelizer_state(params)
+    (ai, aq), st = chz.channelize_block(params, st,
+                                        jnp.asarray(xi[:n_w]),
+                                        jnp.asarray(xq[:n_w]))
+    (bi, bq), st = chz.channelize_block(params, st,
+                                        jnp.asarray(xi[n_w:]),
+                                        jnp.asarray(xq[n_w:]))
+
+    np.testing.assert_array_equal(np.asarray(wi),
+                                  np.concatenate([ai, bi], -1))
+    np.testing.assert_array_equal(np.asarray(wq),
+                                  np.concatenate([aq, bq], -1))
+
+
+@pytest.mark.parametrize("station", [1, 3, 6])
+def test_tone_isolation(station):
+    """A tone at carrier c + f0 appears in channel c at f0 (near unit
+    gain) and is >40 dB down in every other channel."""
+    channels, f_if = 8, 240e3
+    fs_w = channels * f_if
+    params = chz.make_channelizer(channels, f_if)
+    f0 = 31e3  # in-band offset
+    n_w, n_blocks = channels * 512, 3
+    n = np.arange(n_blocks * n_w)
+    x = np.exp(2j * np.pi * (station * f_if + f0) * n / fs_w)
+
+    st = chz.init_channelizer_state(params)
+    outs = []
+    for b in range(n_blocks):
+        sl = slice(b * n_w, (b + 1) * n_w)
+        (yi, yq), st = chz.channelize_block(
+            params, st, jnp.asarray(x.real[sl], jnp.float32),
+            jnp.asarray(x.imag[sl], jnp.float32))
+        outs.append(np.asarray(yi) + 1j * np.asarray(yq))
+    y = np.concatenate(outs, -1)[:, n_w // channels:]  # drop warm-up
+
+    power = np.mean(np.abs(y) ** 2, axis=-1)
+    assert power[station] > 0.7, power  # ~unit passband gain
+    others = np.delete(power, station)
+    assert np.all(others < 1e-4 * power[station]), power
+
+    # and it is downconverted: channel tone sits at f0, not at DC
+    m = y[station]
+    t = np.arange(len(m)) / f_if
+    c_f0 = np.abs(m @ np.exp(-2j * np.pi * f0 * t)) / len(m)
+    assert c_f0 > 0.8, c_f0
+
+
+def test_tone_negative_offset_aliases_to_high_channel():
+    """Negative carriers land on channel C - c (docstring contract)."""
+    channels, f_if = 8, 240e3
+    fs_w = channels * f_if
+    params = chz.make_channelizer(channels, f_if)
+    n_w = channels * 512
+    n = np.arange(2 * n_w)
+    x = np.exp(2j * np.pi * (-2 * f_if + 17e3) * n / fs_w)
+    st = chz.init_channelizer_state(params)
+    (ai, aq), st = chz.channelize_block(
+        params, st, jnp.asarray(x.real[:n_w], jnp.float32),
+        jnp.asarray(x.imag[:n_w], jnp.float32))
+    (bi, bq), _ = chz.channelize_block(
+        params, st, jnp.asarray(x.real[n_w:], jnp.float32),
+        jnp.asarray(x.imag[n_w:], jnp.float32))
+    y = np.asarray(bi) + 1j * np.asarray(bq)
+    power = np.mean(np.abs(y) ** 2, axis=-1)
+    assert np.argmax(power) == channels - 2, power
+
+
+def _tone_power(x, freq, fs):
+    t = np.arange(len(x)) / fs
+    c = x @ np.exp(-2j * np.pi * freq * t)
+    return 2 * np.abs(c) ** 2 / len(x) ** 2
+
+
+def test_wideband_two_stations_e2e():
+    """Two FM stations on one wideband capture -> channelize -> batched
+    receiver: each station's mono tone reappears in its channel only."""
+    cfg = get_mode(0)
+    channels, n_steps = 4, 6
+    n_audio = n_steps * cfg.audio_per_block
+    f1, f2 = 800.0, 1500.0
+    tone1 = fm.tone(f1, cfg.audio_fs, n_audio, amp=0.9)
+    tone2 = fm.tone(f2, cfg.audio_fs, n_audio, amp=0.9)
+    # kf=50 kHz keeps Carson bandwidth within the 240 kHz channel grid
+    # (at the broadcast 75 kHz a neighbour's sidebands legitimately spill
+    # into adjacent channels — real-world adjacent-channel interference).
+    wb = fm.synthesize_wideband(
+        cfg, channels, n_steps,
+        stations={1: dict(left=tone1, right=tone1),
+                  3: dict(left=tone2, right=tone2)}, kf=50e3)
+
+    from dy4tpu.pipeline import receiver
+    params = receiver.make_params(cfg)
+    chan = wideband.make_wideband(cfg, channels)
+    state = wideband.wideband_init(cfg, chan, with_rds=False)
+    blocks = jnp.asarray(
+        wb.reshape(n_steps, 2 * channels * cfg.if_per_block))
+    state, outs = jax.jit(lambda s, b: wideband.run_wideband_blocks(
+        params, chan, s, b, cfg, with_rds=False))(state, blocks)
+
+    # RSSI scanner: the two live channels stand >15 dB above every
+    # empty one (the squelch/station-scan contract of `rssi_dbfs`)
+    rssi = np.asarray(outs.rssi)  # [n_steps, C]
+    assert rssi.shape == (n_steps, channels)
+    mean_rssi = rssi[1:].mean(0)
+    live, dead = mean_rssi[[1, 3]], mean_rssi[[0, 2]]
+    assert live.min() > dead.max() + 15.0, mean_rssi
+
+    outs = outs.rx
+    mono = np.asarray(outs.mono)  # [n_steps, C, audio_per_block]
+    assert mono.shape == (n_steps, channels, cfg.audio_per_block)
+    mono = mono[2:].transpose(1, 0, 2).reshape(channels, -1)  # warm-up cut
+
+    p1 = _tone_power(mono[1], f1, cfg.audio_fs)
+    p1x = _tone_power(mono[1], f2, cfg.audio_fs)
+    p2 = _tone_power(mono[3], f2, cfg.audio_fs)
+    p2x = _tone_power(mono[3], f1, cfg.audio_fs)
+    assert p1 > 1e-4 and p2 > 1e-4, (p1, p2)
+    assert p1 > 30 * p1x, (p1, p1x)   # >15 dB cross-station separation
+    assert p2 > 30 * p2x, (p2, p2x)
+    # Empty channels demodulate to loud static (random phase -> white
+    # noise, exactly like a real radio between stations); adjacent
+    # channels DO capture a weak coherent copy of a neighbour's tone
+    # through the FM skirt (adjacent-channel interference, ~-7 dB here)
+    # — the contract is dominance: each tone is strongest in its own
+    # channel by >5 dB.
+    for c in (0, 2):
+        assert _tone_power(mono[c], f1, cfg.audio_fs) < 0.3 * p1
+        assert _tone_power(mono[c], f2, cfg.audio_fs) < 0.3 * p2
+
+
+def test_receiver_step_if_matches_rf_chain_shape():
+    """IF-entry receiver produces the same output pytree geometry as the
+    RF-entry one and is jit/scan-safe with a channel batch axis."""
+    from dy4tpu.pipeline import receiver
+    cfg = get_mode(0)
+    params = receiver.make_params(cfg)
+    state = receiver.init_state(cfg, batch=(4,), with_rds=True)
+    rng = np.random.default_rng(3)
+    i_if = jnp.asarray(rng.standard_normal((4, cfg.if_per_block)),
+                       jnp.float32) * 0.1
+    q_if = jnp.asarray(rng.standard_normal((4, cfg.if_per_block)),
+                       jnp.float32) * 0.1
+    new_state, out = jax.jit(
+        lambda s, i, q: receiver.receiver_step_if(params, s, i, q, cfg)
+    )(state, i_if, q_if)
+    assert out.mono.shape == (4, cfg.audio_per_block)
+    assert out.left.shape == (4, cfg.audio_per_block)
+    jax.tree_util.tree_map(lambda a, b: None, state, new_state)  # same pytree
+    assert np.all(np.isfinite(np.asarray(out.mono)))

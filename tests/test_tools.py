@@ -99,3 +99,50 @@ def test_bench_cli_smoke(radio_mode):
     assert rec["metric"] == (f"mode{radio_mode}"
                              "_full_chain_iq_throughput_per_chip")
     assert rec["value"] > 0 and rec["unit"] == "MS/s"
+
+
+@pytest.mark.slow
+def test_synth_wideband_then_decode_roundtrip(tmp_path):
+    """synth --wideband -> tools.wideband: scan finds the stations,
+    decode recovers each one's RDS PI/PS from ONE band capture."""
+    cap = str(tmp_path / "band.raw")
+    p = _run("dy4tpu.tools.synth",
+             [cap, "--mode", "0", "--wideband", "4",
+              "--stations", "1,3", "--blocks", "30"])
+    assert p.returncode == 0, p.stderr.decode()
+    cfg = get_mode(0)
+    assert os.path.getsize(cap) == 30 * 2 * 4 * cfg.if_per_block
+
+    p = _run("dy4tpu.tools.wideband",
+             [cap, "--mode", "0", "--channels", "4", "--scan"])
+    assert p.returncode == 0, p.stderr.decode()
+    scan = p.stderr.decode()
+    for ch, live in enumerate([False, True, False, True]):
+        line = next(l for l in scan.splitlines() if l.startswith(f"ch   {ch}"))
+        assert line.rstrip().endswith("*") == live, scan
+
+    out = tmp_path / "decoded"
+    p = _run("dy4tpu.tools.wideband",
+             [cap, "--mode", "0", "--channels", "4", "--out-dir", str(out)])
+    assert p.returncode == 0, p.stderr.decode()
+    err = p.stderr.decode()
+    assert "PI=5401 PS='WB CH-01'" in err, err
+    assert "PI=5403 PS='WB CH-03'" in err, err
+    assert (out / "station001.wav").exists()
+    assert (out / "station003.wav").exists()
+    assert not (out / "station000.wav").exists()  # squelched
+
+
+def test_bench_wideband_smoke():
+    """BENCH_MODE=wideband prints one JSON line on tiny CPU shapes."""
+    import json
+    env = {**ENV, "BENCH_MODE": "wideband", "BENCH_WB_CHANNELS": "4",
+           "BENCH_BLOCKS": "2", "BENCH_REPEATS": "1", "BENCH_VALIDATE": "0"}
+    p = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                       cwd=REPO, env=env, timeout=600)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    lines = p.stdout.decode().strip().splitlines()
+    assert len(lines) == 1, lines
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "wideband_channelizer_4ch_iq_throughput_per_chip"
+    assert rec["value"] > 0 and rec["unit"] == "MS/s"
