@@ -494,6 +494,67 @@ def _hb_plan(k: int):
     return np.where(mask, jp, 0).astype(np.int32), mask.astype(np.float32)
 
 
+def _band_stages(fm, hb_ref, hc_ref, bank_hist_ref, fmdel_hist_ref,
+                 sq_hist_ref, rds_hist_ref, fmd_ref, pilot_ref,
+                 stereo_ref, carrier_ref, rdsdel_ref, fm_last_ref,
+                 sq_last_ref, rds_last_ref, bext_s, pgb_s, fmd_s, sqe_s,
+                 rdse_s, *, n_out: int, delay: int, rds: bool, mm_dtype):
+    """Post-demod LTI stages shared by the RF-entry full kernel and the
+    IF-entry one: mono delay, pilot/stereo/RDS band bank, RDS delay,
+    squaring + carrier BPF — all on the in-VMEM fm stream (decim-1
+    Toeplitz dots over [2T]-windows; delays are static slices of
+    128-aligned scratch)."""
+    bc = fmd_ref.shape[0]
+    j_tiles = n_out // _T
+    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def band_windows(ext):
+        """[BC, T + n] ext stream -> [BC*J, 2T] tile windows."""
+        pgb_s[:, :, :_T] = ext[:, :n_out].reshape(bc, j_tiles, _T)
+        for j in range(j_tiles):
+            pgb_s[:, j, _T:] = ext[:, _T * j + _T:_T * j + 2 * _T]
+        return pgb_s[:].reshape(bc * j_tiles, 2 * _T)
+
+    # ---- mono delay (exact f32 pass-through) ----
+    fmd_s[:, :_T] = fmdel_hist_ref[:]
+    fmd_s[:, _T:] = fm
+    fmd_ref[:] = fmd_s[:, _T - delay:_T - delay + n_out]
+    fm_last_ref[:] = fmd_s[:, n_out:]
+
+    # ---- band bank over fm ----
+    bext_s[:, :_T] = bank_hist_ref[:].astype(mm_dtype)
+    bext_s[:, _T:] = fm.astype(mm_dtype)
+    pgb = band_windows(bext_s[:])
+    pilot_ref[:] = jnp.dot(pgb, hb_ref[0],
+                           preferred_element_type=jnp.float32,
+                           precision=prec).reshape(bc, n_out)
+    stereo_ref[:] = jnp.dot(pgb, hb_ref[1],
+                            preferred_element_type=jnp.float32,
+                            precision=prec).reshape(bc, n_out)
+    if not rds:
+        return
+
+    rds_band = jnp.dot(pgb, hb_ref[2],
+                       preferred_element_type=jnp.float32,
+                       precision=prec).reshape(bc, n_out)
+
+    # ---- RDS delay + squaring + carrier BPF ----
+    rdse_s[:, :_T] = rds_hist_ref[:]
+    rdse_s[:, _T:] = rds_band
+    rdsdel_ref[:] = rdse_s[:, _T - delay:_T - delay + n_out]
+    rds_last_ref[:] = rdse_s[:, n_out:]
+
+    sq = rds_band * rds_band
+    sqe_s[:, :_T] = sq_hist_ref[:].astype(mm_dtype)
+    sqe_s[:, _T:] = sq.astype(mm_dtype)
+    sq_last_ref[:] = sq[:, n_out - _T:]
+    pgc = band_windows(sqe_s[:])
+    carrier_ref[:] = jnp.dot(pgc, hc_ref[0],
+                             preferred_element_type=jnp.float32,
+                             precision=prec).reshape(bc, n_out)
+
+
 def _kernel_front_full(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref,
                        hb_ref, bank_hist_ref, fmdel_hist_ref, *args,
                        decim: int, n_out: int, w0: int, delay: int,
@@ -546,50 +607,16 @@ def _kernel_front_full(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref,
     i_ds, q_ds = legs
     fm = _demod_emit(i_ds, q_ds, prev_ref, last_ref, n_out)
 
-    def band_windows(ext):
-        """[BC, T + n] ext stream -> [BC*J, 2T] tile windows."""
-        pgb_s[:, :, :_T] = ext[:, :n_out].reshape(bc, j_tiles, _T)
-        for j in range(j_tiles):
-            pgb_s[:, j, _T:] = ext[:, _T * j + _T:_T * j + 2 * _T]
-        return pgb_s[:].reshape(bc * j_tiles, 2 * _T)
-
-    # ---- stage 2: mono delay (exact f32 pass-through) ----
-    fmd_s[:, :_T] = fmdel_hist_ref[:]
-    fmd_s[:, _T:] = fm
-    fmd_ref[:] = fmd_s[:, _T - delay:_T - delay + n_out]
-    fm_last_ref[:] = fmd_s[:, n_out:]
-
-    # ---- stage 3: band bank over fm ----
-    bext_s[:, :_T] = bank_hist_ref[:].astype(mm_dtype)
-    bext_s[:, _T:] = fm.astype(mm_dtype)
-    pgb = band_windows(bext_s[:])
-    pilot_ref[:] = jnp.dot(pgb, hb_ref[0],
-                           preferred_element_type=jnp.float32,
-                           precision=prec).reshape(bc, n_out)
-    stereo_ref[:] = jnp.dot(pgb, hb_ref[1],
-                            preferred_element_type=jnp.float32,
-                            precision=prec).reshape(bc, n_out)
     if not rds:
-        return
-
-    rds_band = jnp.dot(pgb, hb_ref[2],
-                       preferred_element_type=jnp.float32,
-                       precision=prec).reshape(bc, n_out)
-
-    # ---- stage 4: RDS delay + squaring + carrier BPF ----
-    rdse_s[:, :_T] = rds_hist_ref[:]
-    rdse_s[:, _T:] = rds_band
-    rdsdel_ref[:] = rdse_s[:, _T - delay:_T - delay + n_out]
-    rds_last_ref[:] = rdse_s[:, n_out:]
-
-    sq = rds_band * rds_band
-    sqe_s[:, :_T] = sq_hist_ref[:].astype(mm_dtype)
-    sqe_s[:, _T:] = sq.astype(mm_dtype)
-    sq_last_ref[:] = sq[:, n_out - _T:]
-    pgc = band_windows(sqe_s[:])
-    carrier_ref[:] = jnp.dot(pgc, hc_ref[0],
-                             preferred_element_type=jnp.float32,
-                             precision=prec).reshape(bc, n_out)
+        hc_ref = sq_hist_ref = rds_hist_ref = None
+        carrier_ref = rdsdel_ref = sq_last_ref = rds_last_ref = None
+        sqe_s = rdse_s = None
+    _band_stages(fm, hb_ref, hc_ref, bank_hist_ref, fmdel_hist_ref,
+                 sq_hist_ref, rds_hist_ref, fmd_ref, pilot_ref,
+                 stereo_ref, carrier_ref, rdsdel_ref, fm_last_ref,
+                 sq_last_ref, rds_last_ref, bext_s, pgb_s, fmd_s, sqe_s,
+                 rdse_s, n_out=n_out, delay=delay, rds=rds,
+                 mm_dtype=mm_dtype)
 
 
 def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
@@ -712,6 +739,130 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     return (fmd, pilot, stereo, carrier, rdsdel, new_tail,
             last[:, 0], last[:, 1], new_bank, new_mono, new_carrier,
             new_rdsdel)
+
+
+def _kernel_front_if(x_i_ref, x_q_ref, prev_ref, hb_ref, bank_hist_ref,
+                     fmdel_hist_ref, *args, n_out: int, delay: int,
+                     rds: bool, mm_dtype):
+    """IF-entry front half in one VMEM pass: per-channel complex
+    baseband at the IF rate (e.g. one DFT-filter-bank channel,
+    ops/channelizer.py) -> FM demod -> the same post-demod band stages
+    as ``_kernel_front_full`` (``_band_stages``).  The RF banded matmul
+    is gone — the channelizer already band-limited and decimated — so
+    the kernel is demod VPU ops + four decim-1 Toeplitz MXU dots, and
+    the fm/squared streams never touch HBM."""
+    if rds:
+        (hc_ref, sq_hist_ref, rds_hist_ref,
+         fmd_ref, pilot_ref, stereo_ref, carrier_ref, rdsdel_ref,
+         last_ref, fm_last_ref, sq_last_ref, rds_last_ref,
+         bext_s, pgb_s, fmd_s, sqe_s, rdse_s) = args
+    else:
+        (fmd_ref, pilot_ref, stereo_ref, last_ref, fm_last_ref,
+         bext_s, pgb_s, fmd_s) = args
+        hc_ref = sq_hist_ref = rds_hist_ref = None
+        carrier_ref = rdsdel_ref = sq_last_ref = rds_last_ref = None
+        sqe_s = rdse_s = None
+
+    fm = _demod_emit(x_i_ref[:], x_q_ref[:], prev_ref, last_ref, n_out)
+    _band_stages(fm, hb_ref, hc_ref, bank_hist_ref, fmdel_hist_ref,
+                 sq_hist_ref, rds_hist_ref, fmd_ref, pilot_ref,
+                 stereo_ref, carrier_ref, rdsdel_ref, fm_last_ref,
+                 sq_last_ref, rds_last_ref, bext_s, pgb_s, fmd_s, sqe_s,
+                 rdse_s, n_out=n_out, delay=delay, rds=rds,
+                 mm_dtype=mm_dtype)
+
+
+def fused_frontend_if(i_if: Array, q_if: Array, prev_i: Array,
+                      prev_q: Array, h_bank: Array, h_carrier,
+                      bank_tail: Array, mono_delay: Array, carrier_tail,
+                      rds_delay, *, rds: bool, mm_dtype=jnp.bfloat16,
+                      interpret: bool = False):
+    """One-kernel IF-entry front half (see ``_kernel_front_if``).
+
+    Contract mirrors the stock ``front_step_if`` composition exactly
+    (demod.fm_demod_diff + mix.delay_block + fir.block_fir_bank +
+    squaring + carrier block_fir), consuming and producing the same
+    FrontState field values (minus the RF ``iq_tail``, which the IF
+    path carries through untouched).  ``i_if``/``q_if``: [C, n_out]
+    float32.  Returns ``(fm_delayed, pilot, stereo, carrier|None,
+    rds_delayed|None, new_prev_i, new_prev_q, new_bank_tail,
+    new_mono_delay, new_carrier_tail|None, new_rds_delay|None)``.
+    """
+    c, n_out = i_if.shape
+    kb = h_bank.shape[-1]
+    delay = kb // 2
+    assert n_out % _T == 0 and n_out >= _T, (n_out, _T)
+    assert kb - 1 <= _T and delay <= _T, kb
+
+    bidx, bmask = _hb_plan(kb)
+    h_bank = h_bank[:3 if rds else 2]
+    assert h_bank.shape[0] == (3 if rds else 2), (h_bank.shape, rds)
+    hb = (h_bank[..., bidx] * jnp.asarray(bmask)).astype(mm_dtype)
+
+    prev = jnp.stack([prev_i, prev_q], axis=-1)
+    prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))
+
+    rpad = lambda a: jnp.pad(a, ((0, 0), (_T - a.shape[-1], 0)))  # noqa: E731
+    ins = [i_if, q_if, prev, hb, rpad(bank_tail), rpad(mono_delay)]
+    if rds:
+        hc = (h_carrier[None, bidx] * jnp.asarray(bmask)).astype(mm_dtype)
+        ins += [hc, rpad(carrier_tail), rpad(rds_delay)]
+
+    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    c_pad = -(-c // bc_rows) * bc_rows
+    if c_pad != c:
+        pc = c_pad - c
+        per_channel = {0, 1, 2, 4, 5} | ({7, 8} if rds else set())
+        ins = [jnp.pad(a, ((0, pc),) + ((0, 0),) * (a.ndim - 1))
+               if i in per_channel else a for i, a in enumerate(ins)]
+
+    kern = functools.partial(_kernel_front_if, n_out=n_out, delay=delay,
+                             rds=rds, mm_dtype=mm_dtype)
+    row = lambda: pl.BlockSpec((bc_rows, n_out), lambda i: (i, 0))  # noqa: E731
+    tile = lambda: pl.BlockSpec((bc_rows, _T), lambda i: (i, 0))  # noqa: E731
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)  # noqa: E731
+
+    in_specs = [row(), row(), tile(), full(hb), tile(), tile()]
+    out_specs = [row(), row(), row()]
+    out_shape = [jax.ShapeDtypeStruct((c_pad, n_out), jnp.float32)
+                 for _ in range(3)]
+    if rds:
+        in_specs += [full(ins[6]), tile(), tile()]
+        out_specs += [row(), row()]
+        out_shape += [jax.ShapeDtypeStruct((c_pad, n_out), jnp.float32)
+                      for _ in range(2)]
+    out_specs += [tile(), tile()]
+    out_shape += [jax.ShapeDtypeStruct((c_pad, _T), jnp.float32)] * 2
+    if rds:
+        out_specs += [tile(), tile()]
+        out_shape += [jax.ShapeDtypeStruct((c_pad, _T), jnp.float32)] * 2
+
+    scratch = [pltpu.VMEM((bc_rows, _T + n_out), mm_dtype),
+               pltpu.VMEM((bc_rows, n_out // _T, 2 * _T), mm_dtype),
+               pltpu.VMEM((bc_rows, _T + n_out), jnp.float32)]
+    if rds:
+        scratch += [pltpu.VMEM((bc_rows, _T + n_out), mm_dtype),
+                    pltpu.VMEM((bc_rows, _T + n_out), jnp.float32)]
+
+    outs = pl.pallas_call(
+        kern, grid=(c_pad // bc_rows,), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        scratch_shapes=scratch, interpret=interpret)(*ins)
+
+    outs = [o[:c] for o in outs]
+    if rds:
+        (fmd, pilot, stereo, carrier, rdsdel,
+         last, fm_last, sq_last, rds_last) = outs
+    else:
+        fmd, pilot, stereo, last, fm_last = outs
+        carrier = rdsdel = sq_last = rds_last = None
+
+    new_bank = fm_last[:, _T - (kb - 1):]
+    new_mono = fm_last[:, _T - delay:]
+    new_carrier = None if sq_last is None else sq_last[:, _T - (kb - 1):]
+    new_rdsdel = None if rds_last is None else rds_last[:, _T - delay:]
+    return (fmd, pilot, stereo, carrier, rdsdel, last[:, 0], last[:, 1],
+            new_bank, new_mono, new_carrier, new_rdsdel)
 
 
 def fused_frontend(iq_u8: Array, h: Array, iq_tail: Array, prev_i: Array,

@@ -350,10 +350,16 @@ def _front_post_demod(params: ReceiverParams, fstate: FrontState,
                      rds_delayed=rds_delayed))
 
 
+def fused_if_frontend_ok(cfg: ModeConfig) -> bool:
+    """Geometry gate for the fused IF-entry front kernel: 128-lane
+    output tiles and the band-filter history within one lane tile."""
+    return cfg.if_per_block % 128 == 0 and cfg.num_taps - 1 <= 128
+
+
 def front_step_if(params: ReceiverParams, fstate: FrontState,
                   i_if: Array, q_if: Array, cfg: ModeConfig, *,
                   precision=jax.lax.Precision.HIGHEST,
-                  rds_enabled: bool = True
+                  rds_enabled: bool = True, frontend: str = "auto"
                   ) -> tuple[FrontState, FrontOut]:
     """IF-entry front half: consume per-channel complex baseband at the
     IF rate (e.g. from ``ops/channelizer.py``) instead of raw RF u8.
@@ -363,7 +369,58 @@ def front_step_if(params: ReceiverParams, fstate: FrontState,
     identical to ``front_step``.  ``i_if``/``q_if``: [..., if_per_block].
     The RF ``iq_tail`` slot is carried through untouched so the state
     pytree stays interchangeable with the RF-entry receiver's.
+
+    ``frontend``: "stock" (XLA ops), "fused" (demod + mono delay + band
+    bank + squaring + carrier BPF + RDS delay in ONE Pallas VMEM pass,
+    `ops/frontend_pallas.fused_frontend_if`), or "auto" (fused on TPU
+    when the geometry fits; also honours ``DY4TPU_FRONTEND=stock``).
     """
+    if frontend == "auto":
+        import os
+        env = os.environ.get("DY4TPU_FRONTEND", "auto")
+        if env == "stock":
+            frontend = "stock"
+        else:
+            frontend = ("fused" if jax.default_backend() == "tpu"
+                        and fused_if_frontend_ok(cfg) else "stock")
+    if frontend == "fused" and not fused_if_frontend_ok(cfg):
+        raise ValueError("frontend='fused' unsupported for this mode "
+                         f"geometry (taps={cfg.num_taps}, "
+                         f"if_per_block={cfg.if_per_block}); use 'stock'")
+
+    if frontend == "fused":
+        from dy4tpu.ops import frontend_pallas
+        mm = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
+              else jnp.bfloat16)
+        batch = i_if.shape[:-1]
+        n_if = i_if.shape[-1]
+        flat = lambda a: (None if a is None else  # noqa: E731
+                          a.reshape((-1,) + a.shape[len(batch):]))
+        unflat = lambda a: (None if a is None else  # noqa: E731
+                            a.reshape(batch + a.shape[1:]))
+        (fmd, pilot, stereo, carrier, rds_delayed, prev_i, prev_q,
+         bank_tail, mono_delay, carrier_tail, rds_delay) = (
+            frontend_pallas.fused_frontend_if(
+                i_if.reshape(-1, n_if), q_if.reshape(-1, n_if),
+                flat(fstate.rf.prev_i).reshape(-1),
+                flat(fstate.rf.prev_q).reshape(-1),
+                params.bank_coeff, params.rds_carrier_coeff,
+                flat(fstate.bank_tail), flat(fstate.mono_delay),
+                flat(fstate.carrier_tail), flat(fstate.rds_delay),
+                rds=rds_enabled, mm_dtype=mm))
+        return (FrontState(
+                    rf=RFState(iq_tail=fstate.rf.iq_tail,
+                               prev_i=prev_i.reshape(batch),
+                               prev_q=prev_q.reshape(batch)),
+                    mono_delay=unflat(mono_delay),
+                    bank_tail=unflat(bank_tail),
+                    carrier_tail=unflat(carrier_tail),
+                    rds_delay=unflat(rds_delay)),
+                FrontOut(fm_delayed=unflat(fmd), pilot=unflat(pilot),
+                         stereo_band=unflat(stereo),
+                         carrier=unflat(carrier),
+                         rds_delayed=unflat(rds_delayed)))
+
     fm, prev_i, prev_q = demod.fm_demod_diff(i_if, q_if,
                                              fstate.rf.prev_i,
                                              fstate.rf.prev_q)
@@ -664,7 +721,7 @@ def receiver_step_if(params: ReceiverParams, state: ReceiverState,
                      i_if: Array, q_if: Array, cfg: ModeConfig,
                      precision=jax.lax.Precision.HIGHEST,
                      with_rds: Optional[bool] = None,
-                     backend: str = "auto"
+                     frontend: str = "auto", backend: str = "auto"
                      ) -> tuple[ReceiverState, StepOutputs]:
     """Process one block of IF-rate complex baseband (I/Q at
     ``cfg.if_fs``), e.g. one channel of ``ops/channelizer.py``'s DFT
@@ -673,7 +730,7 @@ def receiver_step_if(params: ReceiverParams, state: ReceiverState,
     rds_enabled = _rds_on(cfg, with_rds) and state.rds is not None
     fstate, fo = front_step_if(params, front_state_of(state), i_if, q_if,
                                cfg, precision=precision,
-                               rds_enabled=rds_enabled)
+                               rds_enabled=rds_enabled, frontend=frontend)
     return _finish_step(params, state, fstate, fo, cfg, precision,
                         rds_enabled, backend)
 

@@ -65,7 +65,7 @@ def wideband_step(params: receiver.ReceiverParams,
                   wb_u8: Array, cfg: ModeConfig,
                   precision=jax.lax.Precision.HIGHEST,
                   with_rds: Optional[bool] = None,
-                  backend: str = "auto"
+                  frontend: str = "auto", backend: str = "auto"
                   ) -> tuple[WidebandState, WidebandOutputs]:
     """One wideband block -> every station's audio + RDS outputs + RSSI.
 
@@ -84,7 +84,7 @@ def wideband_step(params: receiver.ReceiverParams,
         chan, state.chan, x[..., 0::2], x[..., 1::2], precision=precision)
     rx_state, out = receiver.receiver_step_if(
         params, state.rx, y_i, y_q, cfg, precision=precision,
-        with_rds=with_rds, backend=backend)
+        with_rds=with_rds, frontend=frontend, backend=backend)
     return (WidebandState(chan=chan_state, rx=rx_state),
             WidebandOutputs(rx=out, rssi=rssi_dbfs(y_i, y_q)))
 

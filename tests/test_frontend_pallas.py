@@ -317,3 +317,102 @@ def test_fused_geometry_gate():
     for m in (1, 2, 3):
         receiver.fused_frontend_ok(get_mode(m))
         receiver.fused_phase_frontend_ok(get_mode(m))
+
+
+def _if_stream(mode, n_blocks, rds):
+    """Complex IF-rate FM stream (what a channelizer channel carries):
+    exp(j * 2pi kf/if_fs * cumsum(multiplex)), blocked."""
+    from dy4tpu.rds import coding
+    from dy4tpu.tx import fm as txfm
+    c = get_mode(mode)
+    n_audio = n_blocks * c.audio_per_block
+    bits = (coding.make_ps_bitstream(0x1234, 5, "IF TEST!", repeats=4)
+            if rds else None)
+    m = txfm.multiplex(c, n_blocks,
+                       left=txfm.tone(800.0, c.audio_fs, n_audio, amp=0.7),
+                       right=txfm.tone(2400.0, c.audio_fs, n_audio,
+                                       amp=0.7),
+                       rds_bits=bits)
+    phase = 2 * np.pi * 75e3 / c.if_fs * np.cumsum(m)
+    x = np.exp(1j * phase)
+    return (x.real.reshape(n_blocks, c.if_per_block).astype(np.float32),
+            x.imag.reshape(n_blocks, c.if_per_block).astype(np.float32))
+
+
+@pytest.mark.parametrize("mode,rds", [(0, True), (1, False)])
+def test_fused_frontend_if_matches_stock_stream(mode, rds):
+    """IF-entry kernel (demod -> delays/bank/squaring/carrier in one
+    VMEM pass) vs the stock front_step_if composition over a 2-block
+    stream, including state interchange (the kernel's new FrontState
+    values must keep feeding the stock path)."""
+    c = get_mode(mode)
+    ch = 2
+    params = receiver.make_params(c, with_rds=rds)
+    n_blocks = 2
+    bi, bq = _if_stream(mode, n_blocks, rds)
+    st = receiver.init_state(c, batch=(ch,), with_rds=rds)
+    fs = receiver.front_state_of(st)
+    for it in range(n_blocks):
+        i_if = jnp.broadcast_to(jnp.asarray(bi[it]), (ch, c.if_per_block))
+        q_if = jnp.broadcast_to(jnp.asarray(bq[it]), (ch, c.if_per_block))
+        fs_ref, fo_ref = receiver.front_step_if(params, fs, i_if, q_if,
+                                                c, frontend="stock",
+                                                rds_enabled=rds)
+        r = frontend_pallas.fused_frontend_if(
+            i_if, q_if, fs.rf.prev_i, fs.rf.prev_q, params.bank_coeff,
+            params.rds_carrier_coeff, fs.bank_tail, fs.mono_delay,
+            fs.carrier_tail, fs.rds_delay, rds=rds,
+            mm_dtype=jnp.float32, interpret=True)
+        (fmd, pilot, stereo, carrier, rdsdel, npi, npq, nbank, nmono,
+         ncar, nrds) = r
+        checks = [(fmd, fo_ref.fm_delayed, 2e-3),
+                  (pilot, fo_ref.pilot, 1e-4),
+                  (stereo, fo_ref.stereo_band, 5e-4),
+                  (nbank, fs_ref.bank_tail, 2e-3),
+                  (nmono, fs_ref.mono_delay, 2e-3),
+                  (npi, fs_ref.rf.prev_i, 1e-5),
+                  (npq, fs_ref.rf.prev_q, 1e-5)]
+        if rds:
+            checks += [(carrier, fo_ref.carrier, 1e-5),
+                       (rdsdel, fo_ref.rds_delayed, 1e-4),
+                       (ncar, fs_ref.carrier_tail, 1e-3),
+                       (nrds, fs_ref.rds_delay, 1e-4)]
+        else:
+            assert carrier is None and rdsdel is None
+            assert ncar is None and nrds is None
+        for a, b, tol in checks:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=max(tol, 1e-12))
+        fs = fs_ref
+
+
+def test_front_step_if_fused_flag_cpu_interpret(monkeypatch):
+    """front_step_if(frontend='fused') wires the kernel correctly
+    (batch flattening, untouched iq_tail slot, odd channel padding)."""
+    import functools
+    monkeypatch.setattr(
+        frontend_pallas, "fused_frontend_if",
+        functools.partial(frontend_pallas.fused_frontend_if,
+                          interpret=True))
+    params = receiver.make_params(cfg)
+    state = receiver.init_state(cfg, batch=(3,))   # odd: exercises c_pad
+    bi, bq = _if_stream(0, 1, True)
+    i_if = jnp.broadcast_to(jnp.asarray(bi[0]), (3, cfg.if_per_block))
+    q_if = jnp.broadcast_to(jnp.asarray(bq[0]), (3, cfg.if_per_block))
+    fs = receiver.front_state_of(state)
+    fs_stock, fo_stock = receiver.front_step_if(params, fs, i_if, q_if,
+                                                cfg, frontend="stock")
+    fs_fused, fo_fused = receiver.front_step_if(
+        params, fs, i_if, q_if, cfg, frontend="fused",
+        precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(fo_fused.pilot),
+                               np.asarray(fo_stock.pilot), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fo_fused.carrier),
+                               np.asarray(fo_stock.carrier), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fs_fused.rf.iq_tail),
+                                  np.asarray(fs_stock.rf.iq_tail))
+
+
+def test_fused_if_geometry_gate():
+    for m in (0, 1, 2, 3):
+        receiver.fused_if_frontend_ok(get_mode(m))
