@@ -99,6 +99,25 @@ def main():
     del os.environ["DY4TPU_FRONTEND"]
     print(f"receiver_step_if flat, stock front:  {t:8.3f} ms/step")
 
+    # 3c. u8 normalize + deinterleave + channelize (isolates the ingest
+    # conversion cost vs stage 1's device-resident f32 planes)
+    st = chz.init_channelizer_state(chan, batch=(BANDS,))
+
+    def u8_chan(s, x, deint):
+        if deint == "strided":
+            xf = (x.astype(jnp.float32) - 128.0) / 128.0
+            xi, xq = xf[..., 0::2], xf[..., 1::2]
+        else:
+            w = x.reshape(*x.shape[:-1], -1, 2)
+            xi = (w[..., 0].astype(jnp.float32) - 128.0) / 128.0
+            xq = (w[..., 1].astype(jnp.float32) - 128.0) / 128.0
+        y, s2 = chz.channelize_block(chan, s, xi, xq, precision=P)
+        return s2, y
+
+    for deint in ("strided", "reshape"):
+        t = bench_scan(lambda s, x, d=deint: u8_chan(s, x, d), st, wb_u8)
+        print(f"u8->channelize ({deint}):         {t:8.3f} ms/step")
+
     # 4. the whole wideband_step
     ws = wideband.wideband_init(cfg, chan, batch=(BANDS,))
     t = bench_scan(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -79,12 +80,35 @@ def wideband_step(params: receiver.ReceiverParams,
     c = chan.channels
     n_w = c * cfg.if_per_block
     assert wb_u8.shape[-1] == 2 * n_w, (wb_u8.shape, 2 * n_w)
-    x = (wb_u8.astype(jnp.float32) - 128.0) / 128.0
+    # u8 -> planar f32 via a trailing [n_w, 2] reshape, NOT x[..., 0::2]:
+    # XLA lowers the stride-2 slice as a relayout that measured 1.65
+    # ms/step slower at this shape (benchmarks/micro_wideband.py).
+    w = wb_u8.reshape(*wb_u8.shape[:-1], n_w, 2)
+    x_i = (w[..., 0].astype(jnp.float32) - 128.0) / 128.0
+    x_q = (w[..., 1].astype(jnp.float32) - 128.0) / 128.0
     (y_i, y_q), chan_state = channelize_block(
-        chan, state.chan, x[..., 0::2], x[..., 1::2], precision=precision)
+        chan, state.chan, x_i, x_q, precision=precision)
+
+    # Run the receivers on a FLAT [prod(batch)*C] axis: the chain's
+    # Pallas kernels and Toeplitz einsums pick better layouts with one
+    # batch dim (measured 1.60 vs 2.42 ms/step at [32,16] vs [512] on
+    # v5e), and leading-dim reshapes of contiguous arrays are free.
+    lead = y_i.shape[:-2]
+    nb = len(lead)
+    flat = int(np.prod(lead, dtype=np.int64)) * c
+
+    def fl(a):
+        return a.reshape(flat, *a.shape[nb + 1:])
+
+    def unfl(a):
+        return a.reshape(*lead, c, *a.shape[1:])
+
     rx_state, out = receiver.receiver_step_if(
-        params, state.rx, y_i, y_q, cfg, precision=precision,
-        with_rds=with_rds, frontend=frontend, backend=backend)
+        params, jax.tree.map(fl, state.rx), fl(y_i), fl(y_q), cfg,
+        precision=precision, with_rds=with_rds, frontend=frontend,
+        backend=backend)
+    rx_state = jax.tree.map(unfl, rx_state)
+    out = jax.tree.map(unfl, out)
     return (WidebandState(chan=chan_state, rx=rx_state),
             WidebandOutputs(rx=out, rssi=rssi_dbfs(y_i, y_q)))
 
