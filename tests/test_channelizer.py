@@ -87,6 +87,40 @@ def test_channelizer_batched_matches_unbatched():
                                    atol=1e-6)
 
 
+def test_channelizer_interleaved_matches_planar():
+    """`channelize_block_interleaved` (what `wideband_step` runs — no
+    stride-2 deinterleave) computes the same bank as the planar form:
+    same MACs, the DFT contraction just widened over the I/Q pair axis
+    (float-only reassociation -> allclose, not equality)."""
+    channels, t = 16, 12
+    params = chz.make_channelizer(channels, 240e3, taps_per_branch=t)
+    k = channels * t
+    rng = np.random.default_rng(7)
+    n_w = channels * 40
+    xi = rng.standard_normal((2, n_w)).astype(np.float32)
+    xq = rng.standard_normal((2, n_w)).astype(np.float32)
+    tail_i = rng.standard_normal((2, k - 1)).astype(np.float32)
+    tail_q = rng.standard_normal((2, k - 1)).astype(np.float32)
+
+    st = chz.ChannelizerState(tail_i=jnp.asarray(tail_i),
+                              tail_q=jnp.asarray(tail_q))
+    (pi, pq), pst = chz.channelize_block(params, st, jnp.asarray(xi),
+                                         jnp.asarray(xq))
+
+    x_int = np.stack([xi, xq], axis=-1).reshape(2, 2 * n_w)
+    (ii, iq), ist = chz.channelize_block_interleaved(
+        params, st, jnp.asarray(x_int))
+
+    np.testing.assert_allclose(np.asarray(ii), np.asarray(pi),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iq), np.asarray(pq),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ist.tail_i),
+                                  np.asarray(pst.tail_i))
+    np.testing.assert_array_equal(np.asarray(ist.tail_q),
+                                  np.asarray(pst.tail_q))
+
+
 def test_channelizer_block_continuity():
     """Carried tail: one 2N-block == two N-blocks concatenated, exactly."""
     channels = 8
