@@ -79,6 +79,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "windowed-sinc (parity default) or Kaiser "
                         "(beyond-parity, ~30 dB more alias rejection at "
                         "the same tap count)")
+    p.add_argument("--deemphasis", choices=["off", "us", "eu"],
+                   default="off",
+                   help="FM de-emphasis (75 us / 50 us single-pole IIR) "
+                        "on the decoded audio; 'off' (parity default) "
+                        "matches the reference, which never de-emphasizes "
+                        "(project.cpp:95-134)")
     return p
 
 
@@ -205,20 +211,39 @@ def main(argv: Optional[list[str]] = None) -> int:
     from jax import lax
     from dy4tpu.ops import mix as mixops
 
+    from dy4tpu.ops import deemph as deemphops
+
+    de_a = None
+    if args.deemphasis != "off":
+        tau = (deemphops.TAU_US_75 if args.deemphasis == "us"
+               else deemphops.TAU_EU_50)
+        de_a = deemphops.deemph_coeff(cfg.audio_fs, tau)
+    de_state = deemphops.init_deemph_state((1,), stereo=stereo)
+
     @functools.partial(jax.jit, static_argnames=("k",))
-    def run_chunk(state, blocks, k):
+    def run_chunk(carry, blocks, k):
         # blocks: [k, 1, block_size] — one scan amortises dispatch latency
-        def body(st, blk):
+        def body(c, blk):
+            st, de = c
             st, out = receiver.receiver_step(params, st, blk, cfg,
                                              with_rds=want_rds)
-            return st, out
-        state, outs = lax.scan(body, state, blocks)
+            if de_a is not None:
+                streams = ((out.left, out.right) if stereo
+                           else (out.mono,))
+                filt = [deemphops.deemphasis_block(s, d, de_a)
+                        for s, d in zip(streams, de)]
+                de = tuple(f[1] for f in filt)
+                ys = tuple(f[0] for f in filt)
+                out = (out._replace(left=ys[0], right=ys[1]) if stereo
+                       else out._replace(mono=ys[0]))
+            return (st, de), out
+        carry, outs = lax.scan(body, carry, blocks)
         if stereo:
             pcm = mixops.quantize_s16(mixops.interleave(outs.left,
                                                         outs.right))
         else:
             pcm = mixops.quantize_s16(outs.mono)
-        return state, pcm, outs
+        return carry, pcm, outs
 
     def read_chunks():
         blocks_iter = (iter(source) if source is not None
@@ -240,7 +265,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         done_blocks = 0
         for chunk_np in read_chunks():
             k = chunk_np.shape[0]
-            state, pcm, out = run_chunk(state, jnp.asarray(chunk_np), k=k)
+            (state, de_state), pcm, out = run_chunk(
+                (state, de_state), jnp.asarray(chunk_np), k=k)
             if pending is not None:
                 drain(pending)
             pending = (pcm, out, k)
