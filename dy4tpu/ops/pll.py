@@ -84,7 +84,21 @@ def _make_step(kp, ki, dtheta, dtype):
     """
     pi = dtype.type(jnp.pi)
     two_pi = dtype.type(2.0 * jnp.pi)
+    inv_two_pi = dtype.type(1.0 / (2.0 * jnp.pi))
     wrap = dtype.type(_WRAP)
+    zero = dtype.type(0.0)
+
+    # This closure is the per-IF-sample dependency chain of the whole
+    # receiver (everything else batches over time), so it is written
+    # divide-free: floor(v * 1/2pi) instead of v / 2pi, and the carried
+    # phases wrap by range-checked conditional +-WRAP instead of
+    # jnp.mod (a divide + sign fixups).  The conditional wrap is total:
+    # per-step increments are loop-bounded (|kp*err + integ| << WRAP,
+    # dtheta < WRAP), and even a garbage carry re-enters [0, WRAP) one
+    # WRAP per step while the floor-based error_d wrap stays correct
+    # for any phase magnitude.  Measured (scanned, [C=512 x 2 lanes]
+    # serving shape incl. relayouts + NCO): 70.2 -> 58.5 ns/step;
+    # full-chain bench 16.55 -> 17.36 GS/s (+4.9%).
 
     def step(carry, inp):
         integrator, phase_est, angle = carry
@@ -92,11 +106,14 @@ def _make_step(kp, ki, dtheta, dtype):
         phi = angle + phase_est
         # wrap(tk - phi) to [-pi, pi) == atan2 phase detector (see pll())
         v = tk - phi + pi
-        error_d = v - two_pi * jnp.floor(v / two_pi) - pi
+        error_d = v - two_pi * jnp.floor(v * inv_two_pi) - pi
         error_d = jnp.where(zk, 0.0, error_d)
         integrator = integrator + ki * error_d
-        phase_est = jnp.mod(phase_est + kp * error_d + integrator, wrap)
-        angle = jnp.mod(angle + dtheta, wrap)
+        pe = phase_est + kp * error_d + integrator
+        pe = pe - jnp.where(pe >= wrap, wrap, zero)
+        phase_est = pe + jnp.where(pe < 0.0, wrap, zero)
+        ang = angle + dtheta
+        angle = ang - jnp.where(ang >= wrap, wrap, zero)
         # Emit the *previous* phase: output k is the NCO computed at k-1.
         return (integrator, phase_est, angle), phi
 
