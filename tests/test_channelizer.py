@@ -265,6 +265,41 @@ def test_wideband_two_stations_e2e():
         assert _tone_power(mono[c], f2, cfg.audio_fs) < 0.3 * p2
 
 
+def test_wideband_dp_bit_exact_vs_single_device():
+    """Band-axis data parallelism over the 8-device mesh is pure DP —
+    the sharded scan's outputs are bit-identical to the local one."""
+    import jax
+    from dy4tpu.config import get_mode
+    from dy4tpu.parallel.mesh import make_mesh
+    from dy4tpu.pipeline import receiver, wideband
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    cfg = get_mode(0)
+    bands, c, steps = 8, 4, 2
+    params = receiver.make_params(cfg)
+    chan = wideband.make_wideband(cfg, c)
+    state = wideband.wideband_init(cfg, chan, batch=(bands,),
+                                   with_rds=False)
+    rng = np.random.default_rng(11)
+    blocks = jnp.asarray(rng.integers(
+        0, 256, (steps, bands, 2 * c * cfg.if_per_block), dtype=np.uint8))
+
+    ref_state, ref_out = jax.jit(
+        lambda s, b: wideband.run_wideband_blocks(
+            params, chan, s, b, cfg, with_rds=False))(state, blocks)
+
+    mesh = make_mesh(ch=8)
+    place, run = wideband.wideband_dp(params, chan, cfg, mesh,
+                                      with_rds=False)
+    dp_state, dp_out = run(place(state), place(blocks, axis=1))
+
+    for a, b in zip(jax.tree.leaves(ref_out), jax.tree.leaves(dp_out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref_state), jax.tree.leaves(dp_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_receiver_step_if_matches_rf_chain_shape():
     """IF-entry receiver produces the same output pytree geometry as the
     RF-entry one and is jit/scan-safe with a channel batch axis."""
