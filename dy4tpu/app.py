@@ -328,7 +328,9 @@ def main(argv: Optional[list[str]] = None) -> int:
         info = applayer.info
         print(f"RDS: PI={info.pi_hex} PTY={info.pty_name!r} "
               f"PS={info.ps_name!r} ({info.groups_seen} groups)"
-              + (f" RT={info.radiotext!r}" if info.radiotext else ""),
+              + (f" RT={info.radiotext!r}" if info.radiotext else "")
+              + (" AF=" + ",".join(f"{f:.1f}" for f in info.af_mhz)
+                 if info.af_mhz else ""),
               file=sys.stderr)
     return 0
 

@@ -44,6 +44,7 @@ class StationInfo:
     rt_flag: Optional[int] = None            # A/B text flag (clears on flip)
     clock_time: Optional[tuple] = None       # group 4A CT:
     #   (year, month, day, hour, minute, offset_half_hours)
+    af_khz: set = dataclasses.field(default_factory=set)  # 0A block C
     groups_seen: int = 0
 
     @property
@@ -72,6 +73,12 @@ class StationInfo:
         return f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d} UTC{off / 2:+g}"
 
     @property
+    def af_mhz(self) -> list:
+        """Sorted alternative-frequency list (group 0A block C, method A
+        — beyond the reference's PI/PTY/PS-only application layer)."""
+        return [k / 1000.0 for k in sorted(self.af_khz)]
+
+    @property
     def radiotext(self) -> Optional[str]:
         """Accumulated 2A radiotext, trimmed at the 0x0D terminator
         (beyond the reference, which stops at PI/PTY/PS)."""
@@ -87,6 +94,20 @@ class ApplicationLayer:
     def __init__(self, verbose: bool = False):
         self.info = StationInfo()
         self.verbose = verbose
+        self._af_skip = 0   # codes following a 250 marker are LF/MF
+
+    def _af_code(self, code: int) -> None:
+        """One AF code (group 0A block C, method A): 1-204 are VHF
+        carriers at 87.5 + 0.1*code MHz; 224-249 are list-length
+        markers; 205 filler; 250 flags that the NEXT code is an LF/MF
+        carrier (tracked so it is not misread as VHF)."""
+        if self._af_skip:
+            self._af_skip -= 1
+            return
+        if code == 250:
+            self._af_skip = 1
+        elif 1 <= code <= 204:
+            self.info.af_khz.add(87500 + 100 * code)
 
     def process(self, group: Group) -> StationInfo:
         info = self.info
@@ -104,6 +125,11 @@ class ApplicationLayer:
                 seg = b & 0x3
                 c1, c2 = chr((d >> 8) & 0xFF), chr(d & 0xFF)
                 info.ps_segments[seg] = c1 + c2
+            if info.group_type == 0 and info.version == "A":
+                c = group.blocks.get("C")
+                if c is not None:
+                    self._af_code((c >> 8) & 0xFF)
+                    self._af_code(c & 0xFF)
             if info.group_type == 2 and info.version == "A":
                 flag = (b >> 4) & 1
                 if info.rt_flag is not None and flag != info.rt_flag:

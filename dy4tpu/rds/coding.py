@@ -134,14 +134,40 @@ def make_group_0a(pi: int, pty: int, segment: int, chars: str,
     return bits
 
 
+def af_words(af_mhz) -> list[int]:
+    """Pack a VHF alternative-frequency list into 0A block-C words.
+
+    RDS method A: the first code is ``224 + count``, then one code per
+    carrier (``code = (f - 87.5 MHz) / 100 kHz``, valid 87.6-107.9),
+    padded to pairs with the 205 filler.  Returns the 16-bit words to
+    cycle through successive 0A groups' block C.
+    """
+    codes = [224 + len(af_mhz)]
+    for f in af_mhz:
+        n = round((f - 87.5) / 0.1)
+        if not 1 <= n <= 204:
+            raise ValueError(f"AF {f} MHz outside 87.6-107.9")
+        codes.append(n)
+    if len(codes) % 2:
+        codes.append(205)                  # filler
+    return [(codes[i] << 8) | codes[i + 1]
+            for i in range(0, len(codes), 2)]
+
+
 def make_ps_bitstream(pi: int, pty: int, ps_name: str,
-                      repeats: int = 1) -> list[int]:
-    """Groups carrying an 8-char program service name, repeated."""
+                      repeats: int = 1, af_mhz=()) -> list[int]:
+    """Groups carrying an 8-char program service name, repeated;
+    ``af_mhz`` (optional) cycles an alternative-frequency list through
+    block C (method A)."""
     ps = (ps_name + " " * 8)[:8]
+    afw = af_words(af_mhz) if af_mhz else [0xE0E0]   # 224 = no AF list
+    k = 0
     bits: list[int] = []
     for _ in range(repeats):
         for seg in range(4):
-            bits.extend(make_group_0a(pi, pty, seg, ps[2 * seg:2 * seg + 2]))
+            bits.extend(make_group_0a(pi, pty, seg, ps[2 * seg:2 * seg + 2],
+                                      af=afw[k % len(afw)]))
+            k += 1
     return bits
 
 

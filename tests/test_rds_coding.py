@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from dy4tpu.rds import coding
 from dy4tpu.rds.app import ApplicationLayer
@@ -143,6 +144,45 @@ def test_radiotext_2a_roundtrip():
         app.process(g)
     assert app.info.pi == 0xABCD
     assert app.info.radiotext == text
+
+
+def test_af_list_roundtrip():
+    """0A alternative frequencies (method A): encode -> frame sync ->
+    application layer recovers the full carrier list (beyond-parity:
+    the reference application layer ignores block C entirely)."""
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    afs = [98.5, 101.1, 107.9, 87.6]
+    bits = np.array(coding.make_ps_bitstream(0x54A7, 10, "DY4TPU  ",
+                                             repeats=3, af_mhz=afs),
+                    np.int8)
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(bits):
+        app.process(g)
+    assert app.info.ps_name == "DY4TPU  "
+    assert app.info.af_mhz == sorted(afs)
+
+
+def test_af_lf_marker_not_misread_as_vhf():
+    """A code following the 250 (LF/MF-follows) marker must not be
+    decoded as a VHF carrier."""
+    from dy4tpu.rds.decoder import Group
+
+    app = ApplicationLayer()
+    mk = lambda c: Group(blocks={"A": 0x1000, "B": 0 << 12, "C": c,
+                                 "D": 0x2020}, bit_position=0)
+    app.process(mk((225 << 8) | 250))   # count=1, then LF/MF marker
+    app.process(mk((27 << 8) | 100))    # 27 = LF carrier code, then VHF
+    assert app.info.af_mhz == [97.5]    # only code 100; 27 consumed
+
+
+def test_af_words_packing():
+    assert coding.af_words([98.5]) == [((224 + 1) << 8) | 110]
+    w = coding.af_words([98.5, 101.1])
+    assert w == [((224 + 2) << 8) | 110, (136 << 8) | 205]
+    with pytest.raises(ValueError):
+        coding.af_words([87.5])
 
 
 def test_radiotext_ab_flag_clears():
