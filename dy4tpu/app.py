@@ -118,13 +118,14 @@ def main(argv: Optional[list[str]] = None) -> int:
     decoder = RDSDecoder() if want_rds else None
     applayer = ApplicationLayer(verbose=True) if want_rds else None
 
+    resume_host: dict = {}
     if args.resume:
-        state, host, meta = ckpt.load(args.resume)
+        state, resume_host, meta = ckpt.load(args.resume)
         block0 = int(meta.get("block", 0))
-        if want_rds and "manchester" in host:
-            decoder.manchester = host["manchester"]
-            decoder.framer = host["framer"]
-            decoder._last_offset = host.get("last_offset")
+        if want_rds and "manchester" in resume_host:
+            decoder.manchester = resume_host["manchester"]
+            decoder.framer = resume_host["framer"]
+            decoder._last_offset = resume_host.get("last_offset")
         print(f"resumed from {args.resume} at block {block0}",
               file=sys.stderr)
 
@@ -136,6 +137,8 @@ def main(argv: Optional[list[str]] = None) -> int:
             host = {"manchester": decoder.manchester,
                     "framer": decoder.framer,
                     "last_offset": decoder._last_offset}
+        # de-emphasis carry (one sample per stream; resumes seamlessly)
+        host["deemph"] = tuple(np.asarray(d) for d in de_state)
         ckpt.save(args.checkpoint, state, host_state=host,
                   meta={"block": block, "mode": args.mode, "path": path})
 
@@ -219,6 +222,8 @@ def main(argv: Optional[list[str]] = None) -> int:
                else deemphops.TAU_EU_50)
         de_a = deemphops.deemph_coeff(cfg.audio_fs, tau)
     de_state = deemphops.init_deemph_state((1,), stereo=stereo)
+    if "deemph" in resume_host and len(resume_host["deemph"]) == len(de_state):
+        de_state = tuple(jnp.asarray(d) for d in resume_host["deemph"])
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_chunk(carry, blocks, k):

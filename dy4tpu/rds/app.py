@@ -45,6 +45,9 @@ class StationInfo:
     clock_time: Optional[tuple] = None       # group 4A CT:
     #   (year, month, day, hour, minute, offset_half_hours)
     af_khz: set = dataclasses.field(default_factory=set)  # 0A block C
+    ta: Optional[int] = None                 # traffic announcement (0A/0B)
+    ms: Optional[int] = None                 # music(1)/speech(0)
+    di: int = 0                              # decoder info, segment-addressed
     groups_seen: int = 0
 
     @property
@@ -121,10 +124,17 @@ class ApplicationLayer:
             info.version = "B" if (b >> 11) & 1 else "A"
             info.tp = (b >> 10) & 1
             info.pty = (b >> 5) & 0x1F
-            if info.group_type == 0 and d is not None:
+            if info.group_type == 0:
                 seg = b & 0x3
-                c1, c2 = chr((d >> 8) & 0xFF), chr(d & 0xFF)
-                info.ps_segments[seg] = c1 + c2
+                info.ta = (b >> 4) & 1
+                info.ms = (b >> 3) & 1
+                # DI: one bit per group, segment-addressed d3..d0
+                # (segment 0 carries d3, spec 3.2.1.5)
+                bit = 3 - seg
+                info.di = (info.di & ~(1 << bit)) | (((b >> 2) & 1) << bit)
+                if d is not None:
+                    c1, c2 = chr((d >> 8) & 0xFF), chr(d & 0xFF)
+                    info.ps_segments[seg] = c1 + c2
             if info.group_type == 0 and info.version == "A":
                 c = group.blocks.get("C")
                 if c is not None:

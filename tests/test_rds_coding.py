@@ -177,6 +177,21 @@ def test_af_lf_marker_not_misread_as_vhf():
     assert app.info.af_mhz == [97.5]    # only code 100; 27 consumed
 
 
+def test_0a_flags_ta_ms_di():
+    """TA/MS and the segment-addressed DI bits decode from block B
+    (spec 3.2.1.3-5; stereo flag d0 arrives with segment 3)."""
+    from dy4tpu.rds.decoder import Group
+
+    app = ApplicationLayer()
+    for seg, di_bit in enumerate([1, 0, 0, 1]):    # d3=1 ... d0=1
+        b = (0 << 12) | (1 << 4) | (0 << 3) | (di_bit << 2) | seg
+        app.process(Group(blocks={"A": 0x1000, "B": b, "C": 0xE0E0,
+                                  "D": 0x2020}, bit_position=0))
+    assert app.info.ta == 1
+    assert app.info.ms == 0
+    assert app.info.di == 0b1001
+
+
 def test_af_words_packing():
     assert coding.af_words([98.5]) == [((224 + 1) << 8) | 110]
     w = coding.af_words([98.5, 101.1])
