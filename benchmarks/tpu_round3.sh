@@ -33,3 +33,10 @@ run "roofline C=768" env ROOF_CHANNELS=768 python -m benchmarks.roofline
 
 # 6. FFT lowering decision (C12)
 run "fft micro" python -m benchmarks.micro_fft
+
+# 7. Wideband channelizer front door (one capture -> 512 stations)
+run "wideband bench" env BENCH_MODE=wideband python bench.py
+run "wideband breakdown" python -m benchmarks.micro_wideband
+
+# 8. Roofline at the serving point (per-stage table in BASELINE.md)
+run "roofline C=512 B=48" env ROOF_BLOCKS=48 python -m benchmarks.roofline
