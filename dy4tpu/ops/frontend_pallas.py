@@ -527,22 +527,22 @@ def _band_stages(fm, hb_ref, hc_ref, bank_hist_ref, fmdel_hist_ref,
     fmd_ref[:] = fmd_s[:, _T - delay:_T - delay + n_out]
     fm_last_ref[:] = fmd_s[:, n_out:]
 
-    # ---- band bank over fm ----
+    # ---- band bank over fm: ONE [BC*J, 2T] x [2T, nb*T] dot for all
+    # bands (hb arrives with the band columns side by side — same
+    # pipeline-drain argument as the raw kernel's merged leg dot) ----
     bext_s[:, :_T] = bank_hist_ref[:].astype(mm_dtype)
     bext_s[:, _T:] = fm.astype(mm_dtype)
     pgb = band_windows(bext_s[:])
-    pilot_ref[:] = jnp.dot(pgb, hb_ref[0],
-                           preferred_element_type=jnp.float32,
-                           precision=prec).reshape(bc, n_out)
-    stereo_ref[:] = jnp.dot(pgb, hb_ref[1],
-                            preferred_element_type=jnp.float32,
-                            precision=prec).reshape(bc, n_out)
+    nb = 3 if rds else 2
+    yb = jnp.dot(pgb, hb_ref[:],
+                 preferred_element_type=jnp.float32,
+                 precision=prec).reshape(bc, j_tiles, nb * _T)
+    pilot_ref[:] = yb[:, :, :_T].reshape(bc, n_out)
+    stereo_ref[:] = yb[:, :, _T:2 * _T].reshape(bc, n_out)
     if not rds:
         return
 
-    rds_band = jnp.dot(pgb, hb_ref[2],
-                       preferred_element_type=jnp.float32,
-                       precision=prec).reshape(bc, n_out)
+    rds_band = yb[:, :, 2 * _T:].reshape(bc, n_out)
 
     # ---- RDS delay + squaring + carrier BPF ----
     rdse_s[:, :_T] = rds_hist_ref[:]
@@ -667,6 +667,7 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     h_bank = h_bank[:3 if rds else 2]
     assert h_bank.shape[0] == (3 if rds else 2), (h_bank.shape, rds)
     hb = (h_bank[..., bidx] * jnp.asarray(bmask)).astype(mm_dtype)
+    hb = jnp.concatenate(list(hb), axis=-1)   # [2T, nb*T] merged bands
 
     tail_raw, prev = _raw_tail_prev(iq_tail, prev_i, prev_q, k, w0)
 
@@ -804,6 +805,7 @@ def fused_frontend_if(i_if: Array, q_if: Array, prev_i: Array,
     h_bank = h_bank[:3 if rds else 2]
     assert h_bank.shape[0] == (3 if rds else 2), (h_bank.shape, rds)
     hb = (h_bank[..., bidx] * jnp.asarray(bmask)).astype(mm_dtype)
+    hb = jnp.concatenate(list(hb), axis=-1)   # [2T, nb*T] merged bands
 
     prev = jnp.stack([prev_i, prev_q], axis=-1)
     prev = jnp.pad(prev, ((0, 0), (0, _T - 2)))
