@@ -241,8 +241,10 @@ def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
                                           unroll=unroll)
         phis = jnp.moveaxis(phis, 0, -1)               # [..., N]
     out_arg = phis * scale[..., None] + dtype.type(phase_adjust)
-    nco_i = jnp.cos(out_arg)
-    nco_q = jnp.sin(out_arg)
+    # bulk NCO synthesis: bounded-domain fused sincos (~3x libm; the
+    # phases are wrapped so |arg| << trig.BOUND) — ops/trig.py
+    from dy4tpu.ops import trig
+    nco_q, nco_i = trig.nco_sincos(out_arg)
     # first output comes from the carried NCO (handles the reference's
     # inconsistent q_ncoState=1.0 init, fmMonoBlock.py:441)
     nco_i = jnp.concatenate([state.nco[..., None], nco_i[..., 1:]], -1)

@@ -426,14 +426,15 @@ class ShardedReceiver:
                     ..., (t_shards * s_blocks - o_blocks) * n_if:]
 
             # NCO synthesis — identical float ops to pll() (scale mult +
-            # phase_adjust 0.0 add), so samples match bit-for-bit
-            nco = jnp.cos(phis_sh[..., 0, :] * f32(cfg.pll_nco_scale)
-                          + f32(0.0))
+            # phase_adjust 0.0 add, same trig.nco_sincos kernel), so
+            # samples match bit-for-bit
+            from dy4tpu.ops import trig
+            nco = trig.nco_sincos(
+                phis_sh[..., 0, :] * f32(cfg.pll_nco_scale) + f32(0.0))[1]
             if rds_on:
                 arg = (phis_sh[..., 1, :] * f32(cfg.rds_pll_nco_scale)
                        + f32(0.0))
-                nco_i = jnp.cos(arg)
-                nco_q = jnp.sin(arg)
+                nco_q, nco_i = trig.nco_sincos(arg)
                 # reference quirk: the stream's first quadrature NCO sample
                 # is the init value 1.0 (fmMonoBlock.py:441)
                 pos = ((t_idx * s_blocks - o_blocks) * n_if
