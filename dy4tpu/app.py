@@ -335,7 +335,13 @@ def main(argv: Optional[list[str]] = None) -> int:
               f"PS={info.ps_name!r} ({info.groups_seen} groups)"
               + (f" RT={info.radiotext!r}" if info.radiotext else "")
               + (" AF=" + ",".join(f"{f:.1f}" for f in info.af_mhz)
-                 if info.af_mhz else ""),
+                 if info.af_mhz else "")
+              + (f" PTYN={info.ptyn!r}" if info.ptyn else "")
+              + (f" PIN={info.pin_str}" if info.pin else "")
+              + (f" CT={info.clock_time_str}" if info.clock_time else "")
+              + (" ODA=" + ",".join(f"{g}:{aid:04X}"
+                                    for g, aid in sorted(info.oda.items()))
+                 if info.oda else ""),
               file=sys.stderr)
     return 0
 

@@ -411,6 +411,8 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
 def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
                        prev_i: Array, prev_q: Array, decim: int, *,
                        mm_dtype=jnp.bfloat16,
+                       bc_rows: int | None = None,
+                       vmem_limit_bytes: int | None = None,
                        interpret: bool = False
                        ) -> tuple[Array, Array, Array, Array]:
     """Raw-stream variant of ``fused_frontend``: identical contract, but
@@ -429,7 +431,8 @@ def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
     # channel rows per grid cell: the f32 scratch (ext_s + pg_s + the pg
     # reshape temp) exceeds the 16 MB scoped-VMEM limit at 8 rows, so
     # halve the tile for f32 (HIGHEST-precision) runs
-    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    if bc_rows is None:
+        bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
     w0 = -(-2 * (k - 1) // _T) * _T      # history slab, lane-aligned
     stride = 2 * _T * decim
     assert w0 <= stride, (w0, stride)
@@ -480,6 +483,9 @@ def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
             pltpu.VMEM((bc_rows, w0 + bs), mm_dtype),
             pltpu.VMEM((bc_rows, n_out // _T, wlen), mm_dtype),
         ],
+        compiler_params=(None if vmem_limit_bytes is None else
+                         pltpu.CompilerParams(
+                             vmem_limit_bytes=vmem_limit_bytes)),
         interpret=interpret,
     )(sum_h.reshape(1, 1), iq_u8, tail_raw, prev, hr)
     fm_t, last_t = fm[:c], last[:c]

@@ -48,6 +48,13 @@ class StationInfo:
     ta: Optional[int] = None                 # traffic announcement (0A/0B)
     ms: Optional[int] = None                 # music(1)/speech(0)
     di: int = 0                              # decoder info, segment-addressed
+    rt_version: Optional[str] = None         # radiotext source: 2A or 2B
+    pin: Optional[tuple] = None              # group 1A: (day, hour, minute)
+    oda: dict = dataclasses.field(default_factory=dict)
+    #   group 3A announcements: carrier group ("8A") -> 16-bit AID
+    ptyn_segments: list = dataclasses.field(
+        default_factory=lambda: [""] * 2)    # group 10A programme type name
+    ptyn_flag: Optional[int] = None
     groups_seen: int = 0
 
     @property
@@ -83,12 +90,28 @@ class StationInfo:
 
     @property
     def radiotext(self) -> Optional[str]:
-        """Accumulated 2A radiotext, trimmed at the 0x0D terminator
+        """Accumulated 2A/2B radiotext, trimmed at the 0x0D terminator
         (beyond the reference, which stops at PI/PTY/PS)."""
         if not any(self.rt_segments):
             return None
-        text = "".join(s if s else "    " for s in self.rt_segments)
+        pad = "    " if self.rt_version != "B" else "  "
+        text = "".join(s if s else pad for s in self.rt_segments)
         return text.split("\r")[0].rstrip()
+
+    @property
+    def ptyn(self) -> Optional[str]:
+        """Programme type name (group 10A), once both segments landed."""
+        if all(self.ptyn_segments):
+            return "".join(self.ptyn_segments).rstrip()
+        return None
+
+    @property
+    def pin_str(self) -> Optional[str]:
+        """Programme item number (group 1A) as 'day DD HH:MM'."""
+        if self.pin is None:
+            return None
+        d, h, m = self.pin
+        return f"day {d:02d} {h:02d}:{m:02d}"
 
 
 class ApplicationLayer:
@@ -140,20 +163,48 @@ class ApplicationLayer:
                 if c is not None:
                     self._af_code((c >> 8) & 0xFF)
                     self._af_code(c & 0xFF)
-            if info.group_type == 2 and info.version == "A":
+            if info.group_type == 1 and info.version == "A":
+                # programme item number (block D; spec 3.1.5.2)
+                if d is not None and (d >> 11) & 0x1F:
+                    info.pin = ((d >> 11) & 0x1F, (d >> 6) & 0x1F,
+                                d & 0x3F)
+            if info.group_type == 2:
                 flag = (b >> 4) & 1
-                if info.rt_flag is not None and flag != info.rt_flag:
+                if ((info.rt_flag is not None and flag != info.rt_flag)
+                        or (info.rt_version is not None
+                            and info.rt_version != info.version)):
                     info.rt_segments = [""] * 16   # text change: clear
                 info.rt_flag = flag
+                info.rt_version = info.version
                 seg = b & 0xF
                 chars = ""
-                c = group.blocks.get("C")
-                if c is not None:
-                    chars += chr((c >> 8) & 0xFF) + chr(c & 0xFF)
+                if info.version == "A":
+                    c = group.blocks.get("C")
+                    if c is not None:
+                        chars += chr((c >> 8) & 0xFF) + chr(c & 0xFF)
+                    if d is not None:
+                        chars += chr((d >> 8) & 0xFF) + chr(d & 0xFF)
+                    if len(chars) == 4:
+                        info.rt_segments[seg] = chars
+                elif d is not None:        # 2B: two chars in block D
+                    info.rt_segments[seg] = (chr((d >> 8) & 0xFF)
+                                             + chr(d & 0xFF))
+            if info.group_type == 3 and info.version == "A":
+                # open-data announcement: which group carries which AID
                 if d is not None:
-                    chars += chr((d >> 8) & 0xFF) + chr(d & 0xFF)
-                if len(chars) == 4:
-                    info.rt_segments[seg] = chars
+                    carrier = f"{(b >> 1) & 0xF}{'B' if b & 1 else 'A'}"
+                    info.oda[carrier] = d
+            if info.group_type == 10 and info.version == "A":
+                flag = (b >> 4) & 1
+                if info.ptyn_flag is not None and flag != info.ptyn_flag:
+                    info.ptyn_segments = [""] * 2
+                info.ptyn_flag = flag
+                seg = b & 0x1
+                c = group.blocks.get("C")
+                if c is not None and d is not None:
+                    info.ptyn_segments[seg] = (
+                        chr((c >> 8) & 0xFF) + chr(c & 0xFF)
+                        + chr((d >> 8) & 0xFF) + chr(d & 0xFF))
             if info.group_type == 4 and info.version == "A":
                 c = group.blocks.get("C")
                 if c is not None and d is not None:

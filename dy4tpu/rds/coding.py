@@ -192,20 +192,119 @@ def make_group_2a(pi: int, pty: int, segment: int, chars: str,
     return bits
 
 
+def make_group_2b(pi: int, pty: int, segment: int, chars: str,
+                  tp: int = 0, ab_flag: int = 0) -> list[int]:
+    """One type-2B group (radiotext, version B): 2 characters per group
+    in block D only (32-char text), block C carries PI under the C'
+    offset (spec 3.1.5.3)."""
+    assert 0 <= segment < 16 and len(chars) == 2
+    block_a = pi
+    block_b = ((2 << 12)
+               | (1 << 11)          # version B
+               | (tp << 10)
+               | ((pty & 0x1F) << 5)
+               | ((ab_flag & 1) << 4)
+               | (segment & 0xF))
+    block_d = (ord(chars[0]) << 8) | ord(chars[1])
+    bits: list[int] = []
+    for msg, t in ((block_a, "A"), (block_b, "B"), (pi, "Cp"),
+                   (block_d, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
 def make_rt_bitstream(pi: int, pty: int, text: str,
-                      repeats: int = 1, ab_flag: int = 0) -> list[int]:
-    """Groups carrying radiotext (<=64 chars, 0x0D-terminated when
-    shorter), repeated."""
-    rt = text[:64]
-    if len(rt) < 64:
-        rt = (rt + "\r").ljust(64)
-    n_seg = -(-max(len(text) + 1, 4) // 4)
+                      repeats: int = 1, ab_flag: int = 0,
+                      version: str = "A") -> list[int]:
+    """Groups carrying radiotext (version A: <=64 chars in C+D; version
+    B: <=32 chars in D only), 0x0D-terminated when shorter, repeated."""
+    cpg = 4 if version == "A" else 2           # chars per group
+    cap = 16 * cpg
+    rt = text[:cap]
+    if len(rt) < cap:
+        rt = (rt + "\r").ljust(cap)
+    n_seg = -(-max(len(text) + 1, cpg) // cpg)
     bits: list[int] = []
     for _ in range(repeats):
         for seg in range(min(16, n_seg)):
-            bits.extend(make_group_2a(pi, pty, seg,
-                                      rt[4 * seg:4 * seg + 4],
-                                      ab_flag=ab_flag))
+            chars = rt[cpg * seg:cpg * (seg + 1)]
+            if version == "A":
+                bits.extend(make_group_2a(pi, pty, seg, chars,
+                                          ab_flag=ab_flag))
+            else:
+                bits.extend(make_group_2b(pi, pty, seg, chars,
+                                          ab_flag=ab_flag))
+    return bits
+
+
+def make_group_1a(pi: int, pty: int, day: int, hour: int, minute: int,
+                  tp: int = 0, variant: int = 0, slow_label: int = 0
+                  ) -> list[int]:
+    """One type-1A group (programme item number + slow labelling,
+    spec 3.1.5.2): block D is the PIN (day 5b, hour 5b, minute 6b),
+    block C a slow-labelling code (variant in bits 14-12)."""
+    assert 1 <= day < 32 and 0 <= hour < 24 and 0 <= minute < 60
+    block_a = pi
+    block_b = ((1 << 12) | (0 << 11) | (tp << 10)
+               | ((pty & 0x1F) << 5))
+    block_c = ((variant & 0x7) << 12) | (slow_label & 0xFFF)
+    block_d = ((day & 0x1F) << 11) | ((hour & 0x1F) << 6) | (minute & 0x3F)
+    bits: list[int] = []
+    for msg, t in ((block_a, "A"), (block_b, "B"), (block_c, "C"),
+                   (block_d, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
+def make_group_3a(pi: int, pty: int, app_group: str, aid: int,
+                  message: int = 0, tp: int = 0) -> list[int]:
+    """One type-3A group (open-data-application announcement, spec
+    3.1.5.4): block B's low 5 bits name the group the ODA rides in
+    (``app_group`` like "8A"), block C is the app message word, block D
+    the 16-bit application id (AID)."""
+    gt = int(app_group[:-1])
+    ver = {"A": 0, "B": 1}[app_group[-1]]
+    assert 0 <= gt < 16 and 0 <= aid < (1 << 16)
+    block_a = pi
+    block_b = ((3 << 12) | (0 << 11) | (tp << 10)
+               | ((pty & 0x1F) << 5)
+               | ((gt & 0xF) << 1) | ver)
+    bits: list[int] = []
+    for msg, t in ((block_a, "A"), (block_b, "B"), (message, "C"),
+                   (aid, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
+def make_group_10a(pi: int, pty: int, segment: int, chars: str,
+                   tp: int = 0, ab_flag: int = 0) -> list[int]:
+    """One type-10A group (programme type name, spec 3.1.5.19): 8-char
+    PTYN over 2 segments of 4 chars (blocks C+D)."""
+    assert 0 <= segment < 2 and len(chars) == 4
+    block_a = pi
+    block_b = ((10 << 12) | (0 << 11) | (tp << 10)
+               | ((pty & 0x1F) << 5)
+               | ((ab_flag & 1) << 4)
+               | (segment & 0x1))
+    block_c = (ord(chars[0]) << 8) | ord(chars[1])
+    block_d = (ord(chars[2]) << 8) | ord(chars[3])
+    bits: list[int] = []
+    for msg, t in ((block_a, "A"), (block_b, "B"), (block_c, "C"),
+                   (block_d, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
+def make_ptyn_bitstream(pi: int, pty: int, ptyn: str,
+                        repeats: int = 1, ab_flag: int = 0) -> list[int]:
+    """Groups carrying an 8-char programme type name (10A), repeated."""
+    name = (ptyn + " " * 8)[:8]
+    bits: list[int] = []
+    for _ in range(repeats):
+        for seg in range(2):
+            bits.extend(make_group_10a(pi, pty, seg,
+                                       name[4 * seg:4 * seg + 4],
+                                       ab_flag=ab_flag))
     return bits
 
 

@@ -240,3 +240,79 @@ def test_clock_time_4a_roundtrip():
         app.process(g)
     assert app.info.clock_time == (2026, 8, 17, 13, 37, -9)
     assert app.info.clock_time_str == "2026-08-17 13:37 UTC-4.5"
+
+
+def test_radiotext_2b_roundtrip():
+    """2B group radiotext (version B: 2 chars/group in block D, PI under
+    the C' offset): encode -> frame sync -> application layer."""
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    text = "VERSION B TEXT"
+    bits = np.array(coding.make_rt_bitstream(0x54A7, 4, text, repeats=3,
+                                             version="B"), np.int8)
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(bits):
+        app.process(g)
+    assert app.info.pi == 0x54A7
+    assert app.info.rt_version == "B"
+    assert app.info.radiotext == text
+
+
+def test_radiotext_version_switch_clears():
+    """Switching 2A -> 2B radiotext clears the accumulated segments."""
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    bits = (coding.make_rt_bitstream(0x54A7, 4, "OLD TEXT A")
+            + coding.make_rt_bitstream(0x54A7, 4, "NEWB", version="B"))
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(np.array(bits, np.int8)):
+        app.process(g)
+    assert app.info.radiotext == "NEWB"
+
+
+def test_ptyn_10a_roundtrip():
+    """10A programme type name: encode -> frame sync -> app layer."""
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    bits = np.array(coding.make_ptyn_bitstream(0x54A7, 10, "FOOTBALL",
+                                               repeats=2), np.int8)
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(bits):
+        app.process(g)
+    assert app.info.ptyn == "FOOTBALL"
+
+
+def test_pin_1a_roundtrip():
+    """1A programme item number (block D day/hour/minute)."""
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    bits = np.array(coding.make_group_1a(0x54A7, 10, 17, 13, 37) * 2,
+                    np.int8)
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(bits):
+        app.process(g)
+    assert app.info.pin == (17, 13, 37)
+    assert app.info.pin_str == "day 17 13:37"
+
+
+def test_oda_3a_announcement():
+    """3A open-data announcement: records carrier group -> AID (e.g.
+    RDS-TMC rides 8A with AID 0xCD46)."""
+    from dy4tpu.rds.app import ApplicationLayer
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    bits = np.array(coding.make_group_3a(0x54A7, 10, "8A", 0xCD46) * 2,
+                    np.int8)
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(bits):
+        app.process(g)
+    assert app.info.oda == {"8A": 0xCD46}
