@@ -34,11 +34,13 @@ oversampled (x2) bank is the standard extension if ever needed.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from dy4tpu.ops import firdes
 
@@ -188,6 +190,216 @@ def channelize_block_interleaved(params: ChannelizerParams,
     new_tail = new_tail.reshape(*new_tail.shape[:-1], k - 1, 2)
     return (y_i, y_q), ChannelizerState(tail_i=new_tail[..., 0],
                                         tail_q=new_tail[..., 1])
+
+
+_LANE = 128
+
+
+def fused_channelizer_ok(channels: int) -> bool:
+    """Geometry gate for the fused u8 channelizer kernel: the
+    interleaved row width 2C must divide the 128-lane tile."""
+    return channels >= 2 and _LANE % (2 * channels) == 0
+
+
+def _chan_w0(c: int, t: int) -> int:
+    """Lane-aligned history-slab width: fits the 2*(K-1)-sample tail
+    plus >=2 pad samples so the x region starts 128-aligned."""
+    return -(-(2 * (c * t - 1) + 2) // _LANE) * _LANE
+
+
+@functools.cache
+def _hchan_plan(c: int, t: int):
+    """Banded operator H [WIN, 128] for the whole channelizer: the
+    branch FIR *and* the DFT are one linear map from the flat
+    interleaved stream to the flat interleaved output, so a 128-lane
+    output tile (A = 128/(2C) consecutive decimated steps x 2C
+    channel-leg slots) is ONE dot against a WIN = 128 + w0 window of
+    ``extW = [pad ++ tail(2K-2) ++ x]`` starting at flat position
+    128*tile, where w0 = lane-aligned history slab (``_chan_w0``) and
+    pad = w0 - (2K-2) leading positions whose H rows are zero.  Column
+    2C*a + e (e = 2c+leg) of row w carries G2[e, j] * pcol[j, q] with
+    j = (w-pad) mod 2C, q = a + T-1 - (w-pad)//2C when 0 <= q < T and
+    w >= pad, else 0 — exactly the math of
+    ``channelize_block_interleaved`` with both contractions folded.
+
+    Returns trace-time index arrays (j_idx [WIN], q_idx [WIN, A],
+    mask [WIN, A]) applied to the *runtime* params."""
+    j2 = 2 * c
+    w0 = _chan_w0(c, t)
+    pad = w0 - 2 * (c * t - 1)
+    w = np.arange(_LANE + w0)
+    idx = w - pad
+    j = np.where(idx >= 0, idx % j2, 0)
+    u = idx // j2
+    a = np.arange(_LANE // j2)
+    q = a[None, :] + t - 1 - u[:, None]          # [WIN, A]
+    mask = (q >= 0) & (q < t) & (idx[:, None] >= 0)
+    return j, np.where(mask, q, 0), mask
+
+
+def _build_hchan(params: ChannelizerParams, mm_dtype):
+    """[WIN, 128] banded branch-FIR matrix (mm_dtype, /128 normalize
+    folded) + the [1, 128] raw-offset row to subtract after the dot.
+
+    The matrix carries ONLY the polyphase branch FIR (the DFT stays an
+    XLA einsum outside the kernel: its ``cj,...mj->...cm`` contraction
+    materialises the channel-major output directly in the matmul's
+    output write, while any in-kernel route to channel-major needs a
+    128->2C lane retile Mosaic rejects — measured round-4 notes)."""
+    c, t = params.channels, params.taps_per_branch
+    j2 = 2 * c
+    j_idx, q_idx, q_mask = _hchan_plan(c, t)
+    pcol = jnp.repeat(params.p[::-1, :], 2, axis=0)      # [2C, T]
+    # H[w, a*2C + j] = pcol[j, q_idx[w, a]] iff j == j_idx[w]
+    taps = pcol[j_idx[:, None], q_idx] * q_mask          # [WIN, A]
+    onehot = jnp.asarray(
+        np.arange(j2)[None, :] == np.asarray(j_idx)[:, None],
+        jnp.float32)                                     # [WIN, 2C]
+    body = taps[:, :, None] * onehot[:, None, :]         # [WIN, A, 2C]
+    h = body.reshape(-1, _LANE)
+    h_mm = (h * jnp.float32(1.0 / 128.0)).astype(mm_dtype)
+    off = 128.0 * jnp.sum(h_mm.astype(jnp.float32), axis=0,
+                          keepdims=True)                 # [1, 128]
+    return h_mm, off
+
+
+def _kernel_chan(x_ref, tail_ref, h_ref, off_ref, w_ref, ext_s, pg_s,
+                 *, w0: int, mm_dtype):
+    """One band tile: raw u8 stream -> flat branch-FIR output tiles.
+    x [1, BT, 2n_w] u8, tail [1, BT, w0] raw-scale (pad ++ tail), h
+    [WIN, 128], off [1, 128] -> w [1, BT, J, 128] f32 (flat
+    mm-major/branch-pair-minor — the DFT einsum outside consumes it).
+    Scratch: ext_s [BT, w0 + 2n_w] mm, pg_s [BT, J, WIN] mm (window
+    assembly = WIN/128 bulk reshape stores, no per-tile loops)."""
+    bt = w_ref.shape[1]
+    j_tiles = w_ref.shape[2]
+    win = h_ref.shape[0]
+    ext_s[:, :w0] = tail_ref[0].astype(mm_dtype)
+    ext_s[:, w0:] = (x_ref[0].astype(jnp.int32).astype(jnp.float32)
+                     .astype(mm_dtype))
+    for b in range(win // _LANE):
+        pg_s[:, :, _LANE * b:_LANE * (b + 1)] = (
+            ext_s[:, _LANE * b:_LANE * (b + j_tiles)]
+            .reshape(bt, j_tiles, _LANE))
+    prec = (lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+    y = jnp.dot(pg_s[:].reshape(bt * j_tiles, win), h_ref[:],
+                preferred_element_type=jnp.float32, precision=prec)
+    w_ref[0] = y.reshape(bt, j_tiles, _LANE) - off_ref[:].reshape(
+        1, 1, _LANE)
+
+
+def channelize_block_u8(params: ChannelizerParams,
+                        state: ChannelizerState, x_u8: Array, *,
+                        precision=jax.lax.Precision.HIGHEST,
+                        impl: str = "auto", interpret: bool = False
+                        ) -> tuple[tuple[Array, Array], ChannelizerState]:
+    """``channelize_block_interleaved`` consuming the RAW u8 block.
+
+    One Pallas VMEM pass folds the u8 normalize, the polyphase branch
+    FIR and the DFT into a single banded [J, WIN] x [WIN, 128] MXU dot
+    (``_hchan_plan``): the stock lowering's T shifted multiply-adds
+    re-read the f32 stream T times from HBM (measured ~0.96 ms/step at
+    the 32-band x 16-ch wideband bench point vs ~0.09 ms of minimum
+    traffic), while the kernel touches HBM once each way.  ``impl``:
+    "pallas" | "stock" | "auto" (pallas on TPU when the geometry fits;
+    env ``DY4TPU_CHANNELIZER=stock`` overrides).
+
+    ``x_u8``: [..., 2*n_w] interleaved u8 (iofunc.cpp:113-120 contract).
+    Returns the same ``((y_i, y_q) [..., C, M], state)`` as the f32
+    entry points.
+    """
+    import os
+    if impl == "auto":
+        env = os.environ.get("DY4TPU_CHANNELIZER", "auto")
+        impl = env if env in ("stock", "pallas") else (
+            "pallas" if jax.default_backend() == "tpu"
+            and fused_channelizer_ok(params.channels) else "stock")
+    if impl == "stock":
+        x = (x_u8.astype(jnp.float32) - 128.0) / 128.0
+        return channelize_block_interleaved(params, state, x,
+                                            precision=precision)
+    if not fused_channelizer_ok(params.channels):
+        raise ValueError(f"fused channelizer needs 2*C | 128, got "
+                         f"C={params.channels}")
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c, t = params.channels, params.taps_per_branch
+    k = c * t
+    j2 = 2 * c
+    a_sl = _LANE // j2
+    batch = x_u8.shape[:-1]
+    n2 = x_u8.shape[-1]
+    assert n2 % _LANE == 0, (n2, _LANE)
+    j_tiles = n2 // _LANE
+    m = n2 // j2
+    w0 = _chan_w0(c, t)                           # lane-aligned history
+    win = _LANE + w0
+    mm_dtype = (jnp.float32 if precision == jax.lax.Precision.HIGHEST
+                else jnp.bfloat16)
+    h_mm, off = _build_hchan(params, mm_dtype)
+
+    bands = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    x2 = x_u8.reshape(bands, n2)
+    # raw-scale tail, 2-sample pad to 128-align the x region (H rows
+    # 0-1 are zero so the pad value never contributes)
+    tail = jnp.stack([state.tail_i, state.tail_q], -1)
+    tail = tail.reshape(bands, 2 * (k - 1)) * 128.0 + 128.0
+    tail = jnp.pad(tail, ((0, 0), (w0 - 2 * (k - 1), 0)),
+                   constant_values=128.0)
+
+    bt = 1 if mm_dtype == jnp.float32 else 2
+    b_pad = -(-bands // bt) * bt
+    if b_pad != bands:
+        x2 = jnp.pad(x2, ((0, b_pad - bands), (0, 0)))
+        tail = jnp.pad(tail, ((0, b_pad - bands), (0, 0)))
+    # leading grid axis: TPU block shapes need the sublane dim to equal
+    # the array dim, so the band tile rides a [G, bt, ...] reshape
+    g = b_pad // bt
+    x3 = x2.reshape(g, bt, n2)
+    tail3 = tail.reshape(g, bt, w0)
+
+    kern = functools.partial(_kernel_chan, w0=w0, mm_dtype=mm_dtype)
+    wflat = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, bt, n2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, bt, w0), lambda i: (i, 0, 0)),
+            pl.BlockSpec((win, _LANE), lambda i: (0, 0)),
+            pl.BlockSpec((1, _LANE), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, j_tiles, _LANE),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, bt, j_tiles, _LANE),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bt, w0 + n2), mm_dtype),
+            pltpu.VMEM((bt, j_tiles, win), mm_dtype),
+        ],
+        interpret=interpret,
+    )(x3, tail3, h_mm, off)
+
+    # DFT across the branch-pair axis as the SAME widened-G einsum the
+    # stock path uses: XLA's cj,...mj->...cm contraction lands the
+    # channel-major output directly in the matmul's output write (no
+    # separate transpose pass)
+    w = wflat.reshape(b_pad, m, j2)[:bands].reshape(*batch, m, j2)
+    e2_r = params.e_r[:, ::-1]
+    e2_i = params.e_i[:, ::-1]
+    g_i = jnp.stack([e2_r, -e2_i], axis=-1).reshape(c, j2)
+    g_q = jnp.stack([e2_i, e2_r], axis=-1).reshape(c, j2)
+    dot = lambda gm: jnp.einsum(  # noqa: E731
+        "cj,...mj->...cm", gm, w, precision=precision)
+    y_i, y_q = dot(g_i), dot(g_q)
+
+    new_tail = x2[:bands, -2 * (k - 1):].astype(jnp.float32)
+    new_tail = ((new_tail - 128.0) / 128.0).reshape(*batch, k - 1, 2)
+    return ((y_i, y_q),
+            ChannelizerState(tail_i=new_tail[..., 0],
+                             tail_q=new_tail[..., 1]))
 
 
 def rssi_dbfs(y_i: Array, y_q: Array) -> Array:

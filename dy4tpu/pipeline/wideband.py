@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from dy4tpu.config import ModeConfig
 from dy4tpu.ops.channelizer import (ChannelizerParams, ChannelizerState,
-                                    channelize_block_interleaved,
+                                    channelize_block_u8,
                                     init_channelizer_state,
                                     make_channelizer, rssi_dbfs)
 from dy4tpu.pipeline import receiver
@@ -80,13 +80,14 @@ def wideband_step(params: receiver.ReceiverParams,
     c = chan.channels
     n_w = c * cfg.if_per_block
     assert wb_u8.shape[-1] == 2 * n_w, (wb_u8.shape, 2 * n_w)
-    # u8 -> f32 stays INTERLEAVED and the bank consumes it directly:
-    # a stride-2 deinterleave (x[..., 0::2] or a [n_w, 2]-reshape slice)
-    # is a relayout XLA charges 0.9-1.7 ms/step at this shape
-    # (benchmarks/micro_wideband.py); the interleaved bank never pays it.
-    x = (wb_u8.astype(jnp.float32) - 128.0) / 128.0
-    (y_i, y_q), chan_state = channelize_block_interleaved(
-        chan, state.chan, x, precision=precision)
+    # the bank consumes the RAW INTERLEAVED u8 block: on TPU one Pallas
+    # pass folds normalize + branch FIR + DFT into a banded MXU dot
+    # (ops/channelizer.py channelize_block_u8; DY4TPU_CHANNELIZER=stock
+    # keeps the XLA lowering, which itself stays interleaved — a
+    # stride-2 deinterleave is a relayout XLA charges 0.9-1.7 ms/step
+    # at this shape, benchmarks/micro_wideband.py).
+    (y_i, y_q), chan_state = channelize_block_u8(
+        chan, state.chan, wb_u8, precision=precision)
 
     # Run the receivers on a FLAT [prod(batch)*C] axis: the chain's
     # Pallas kernels and Toeplitz einsums pick better layouts with one

@@ -319,3 +319,50 @@ def test_receiver_step_if_matches_rf_chain_shape():
     assert out.left.shape == (4, cfg.audio_per_block)
     jax.tree_util.tree_map(lambda a, b: None, state, new_state)  # same pytree
     assert np.all(np.isfinite(np.asarray(out.mono)))
+
+
+def test_channelizer_u8_pallas_matches_stock():
+    """Fused u8 channelizer kernel (branch FIR as one banded MXU dot,
+    interpret mode) == stock normalize + interleaved path, across
+    geometries including non-lane-aligned history slabs (C=8) and the
+    A=1 edge (C=64)."""
+    cfg = get_mode(0)
+    for c, t in ((16, 12), (8, 12), (32, 12), (4, 16), (64, 12)):
+        chan = chz.make_channelizer(c, cfg.if_fs, taps_per_branch=t)
+        k = c * t
+        rng = np.random.default_rng(c + t)
+        x_u8 = rng.integers(0, 256, (3, 2 * c * 512)).astype(np.uint8)
+        st = chz.ChannelizerState(
+            tail_i=jnp.asarray(rng.normal(size=(3, k - 1))
+                               .astype(np.float32)),
+            tail_q=jnp.asarray(rng.normal(size=(3, k - 1))
+                               .astype(np.float32)))
+        (ri, rq), s_ref = chz.channelize_block_u8(
+            chan, st, jnp.asarray(x_u8), impl="stock")
+        (gi, gq), s_got = chz.channelize_block_u8(
+            chan, st, jnp.asarray(x_u8), impl="pallas", interpret=True,
+            precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(ri),
+                                   atol=5e-6, err_msg=f"C={c} T={t}")
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                                   atol=5e-6, err_msg=f"C={c} T={t}")
+        np.testing.assert_array_equal(np.asarray(s_ref.tail_i),
+                                      np.asarray(s_got.tail_i))
+
+
+def test_channelizer_u8_pallas_bf16_and_batch_pad():
+    """DEFAULT-precision (bf16 taps) kernel stays within bf16 tolerance
+    of the f32 stock path, including the odd-band padding path."""
+    cfg = get_mode(0)
+    chan = chz.make_channelizer(16, cfg.if_fs)
+    rng = np.random.default_rng(1)
+    x_u8 = rng.integers(0, 256, (5, 2 * 16 * 512)).astype(np.uint8)
+    st = chz.init_channelizer_state(chan, batch=(5,))
+    (ri, rq), _ = chz.channelize_block_u8(chan, st, jnp.asarray(x_u8),
+                                          impl="stock")
+    (gi, gq), _ = chz.channelize_block_u8(
+        chan, st, jnp.asarray(x_u8), impl="pallas", interpret=True,
+        precision=jax.lax.Precision.DEFAULT)
+    scale = float(jnp.max(jnp.abs(ri))) + 1e-6
+    assert float(jnp.max(jnp.abs(gi - ri))) / scale < 2e-2
+    assert float(jnp.max(jnp.abs(gq - rq))) / scale < 2e-2
