@@ -252,10 +252,15 @@ def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
 
     phi_end = ang + pe
     end_arg = phi_end * scale + dtype.type(phase_adjust)
+    # the carried nco/nco_q become the NEXT block's first emitted sample,
+    # so they must ride the SAME trig kernel as the bulk synthesis —
+    # streaming vs contiguous runs stay bit-identical
+    # (tests/test_pll_pallas.py::test_pallas_streaming_continuity)
+    end_q, end_i = trig.nco_sincos(end_arg)
     new_state = PLLState(
         feedback_i=jnp.cos(phi_end), feedback_q=jnp.sin(phi_end),
         integrator=integ, phase_est=pe, angle=ang,
-        nco=jnp.cos(end_arg), nco_q=jnp.sin(end_arg))
+        nco=end_i, nco_q=end_q)
     return nco_i, nco_q, new_state
 
 

@@ -94,6 +94,33 @@ def offset_syndromes() -> np.ndarray:
     return np.asarray(out, dtype=np.int8)
 
 
+@functools.cache
+def burst_error_table(max_burst: int = 5) -> "np.ndarray":
+    """[1024] int32 lookup: error-syndrome -> 26-bit error pattern
+    (MSB-first over the block), or -1 when not correctable.
+
+    The RBDS (26,16) shortened cyclic code corrects any single error
+    burst spanning <= 5 bits (spec annex B).  Verified here by
+    construction: all 367 burst patterns of length <= 5 have distinct
+    nonzero syndromes, none equal to an offset word (so a valid block
+    of a different type can never be "corrected" into the expected
+    one).  The reference has no correction at all — a single bit error
+    drops the block and costs the whole group (fmMonoBlock.py:199-283).
+    """
+    table = np.full(1 << NBITS_CRC, -1, np.int64)
+    for length in range(1, max_burst + 1):
+        for p in range(NBITS_BLOCK - length + 1):
+            mids = [0] if length == 1 else range(1 << (length - 2))
+            for mid in mids:
+                pat = (1 if length == 1
+                       else (1 << (length - 1)) | (mid << 1) | 1)
+                e = pat << (NBITS_BLOCK - p - length)
+                s = syndrome(e)
+                assert table[s] in (-1, e), (s, e)
+                table[s] = e
+    return table.astype(np.int64)
+
+
 def bits_of(value: int, nbits: int) -> list[int]:
     return [(value >> (nbits - 1 - i)) & 1 for i in range(nbits)]
 

@@ -105,10 +105,22 @@ class ManchesterDecoder:
 
 
 class FrameSynchronizer:
-    """26-bit block sync with in-order tracking and re-acquisition."""
+    """26-bit block sync with in-order tracking, re-acquisition, and
+    (when synced) single-burst error correction.
 
-    def __init__(self, max_misses: int = 2):
+    ``correct_bursts``: repair blocks whose syndrome maps to a single
+    error burst of <= 5 bits relative to the EXPECTED block type — the
+    RBDS code's designed correction capability (coding.py
+    ``burst_error_table``).  Applied only while synced with a known
+    expected type (an unsynced 10-bit syndrome would false-trap with
+    ~36% probability), so clean-stream decisions are bit-identical to
+    the uncorrected decoder and acquisition behaviour is unchanged.
+    The reference drops any errored block (fmMonoBlock.py:199-283).
+    """
+
+    def __init__(self, max_misses: int = 2, correct_bursts: bool = True):
         self.max_misses = max_misses
+        self.correct_bursts = correct_bursts
         self.reset()
 
     def reset(self) -> None:
@@ -119,6 +131,25 @@ class FrameSynchronizer:
         self.expected: Optional[str] = None
         self.misses = 0
         self.current: dict = {}
+        self.corrected = 0         # blocks repaired since reset
+
+    def _try_correct(self, s: int) -> Optional[str]:
+        """Attempt burst correction of the window at ``cursor`` toward
+        the expected type; repairs ``buf`` in place and returns the
+        block type on success."""
+        if not (self.correct_bursts and self.expected is not None):
+            return None
+        cands = ((self.expected, "Cp") if self.expected == "C"
+                 else (self.expected,))
+        table = coding.burst_error_table()
+        for cand in cands:
+            err = int(table[s ^ coding.OFFSET_WORDS[cand]])
+            if err >= 0:
+                ebits = np.array(coding.bits_of(err, 26), np.int8)
+                self.buf[self.cursor:self.cursor + 26] ^= ebits
+                self.corrected += 1
+                return cand
+        return None
 
     @staticmethod
     def _syndromes(bits: np.ndarray) -> np.ndarray:
@@ -154,6 +185,8 @@ class FrameSynchronizer:
                 continue
 
             # synced: windows advance a full block at a time
+            if btype is None:
+                btype = self._try_correct(s)
             if btype is not None and (self.expected is None
                                       or btype == self.expected
                                       or (self.expected == "C"

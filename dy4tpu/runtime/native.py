@@ -230,6 +230,10 @@ class NativeFrameSync:
             self._lib.dy4_framesync_synced.argtypes = [ctypes.c_void_p]
             self._lib.dy4_framesync_reset.argtypes = [ctypes.c_void_p]
             self._lib.dy4_framesync_destroy.argtypes = [ctypes.c_void_p]
+            self._lib.dy4_framesync_set_correct.argtypes = [
+                ctypes.c_void_p, ctypes.c_int]
+            self._lib.dy4_framesync_corrected.restype = ctypes.c_longlong
+            self._lib.dy4_framesync_corrected.argtypes = [ctypes.c_void_p]
             self._lib._framesync_bound = True
 
         # row i of the parity matrix as a 10-bit int, MSB-first
@@ -245,6 +249,16 @@ class NativeFrameSync:
                 ctypes.POINTER(ctypes.c_uint16)),
             np.ascontiguousarray(off_typ).ctypes.data_as(u8ptr_t()),
             len(off_syn), max_misses)
+
+    def set_correct(self, on: bool) -> None:
+        """Enable/disable single-burst (<=5 bit) error correction (ON
+        by default; twin of decoder.FrameSynchronizer correct_bursts)."""
+        self._lib.dy4_framesync_set_correct(self._h, 1 if on else 0)
+
+    @property
+    def corrected(self) -> int:
+        """Blocks repaired by burst correction since creation."""
+        return int(self._lib.dy4_framesync_corrected(self._h))
 
     def push(self, bits: np.ndarray):
         """Returns (blocks [n,4] uint16 A/B/C/D, positions [n] int64)."""
@@ -313,6 +327,10 @@ class NativeFrameSyncBatch:
             self._lib.dy4_fsbatch_synced.restype = ctypes.c_int
             self._lib.dy4_fsbatch_synced.argtypes = [ctypes.c_void_p, u8p]
             self._lib.dy4_fsbatch_destroy.argtypes = [ctypes.c_void_p]
+            self._lib.dy4_fsbatch_set_correct.argtypes = [
+                ctypes.c_void_p, ctypes.c_int]
+            self._lib.dy4_fsbatch_corrected.restype = ctypes.c_longlong
+            self._lib.dy4_fsbatch_corrected.argtypes = [ctypes.c_void_p]
             self._lib._fsbatch_bound = True
 
         pow2 = (1 << np.arange(9, -1, -1)).astype(np.int64)
@@ -329,6 +347,16 @@ class NativeFrameSyncBatch:
             row_vals.ctypes.data_as(u16p), off_syn.ctypes.data_as(u16p),
             off_typ.ctypes.data_as(u8ptr_t()), len(off_syn), max_misses,
             channels)
+
+    def set_correct(self, on: bool) -> None:
+        """Enable/disable single-burst error correction on every
+        channel (ON by default)."""
+        self._lib.dy4_fsbatch_set_correct(self._h, 1 if on else 0)
+
+    @property
+    def corrected(self) -> int:
+        """Total blocks repaired across all channels."""
+        return int(self._lib.dy4_fsbatch_corrected(self._h))
 
     def push(self, bits: np.ndarray, lens: np.ndarray,
              reset: Optional[np.ndarray] = None):

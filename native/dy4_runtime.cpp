@@ -321,6 +321,12 @@ struct FrameSync {
   std::vector<uint16_t> off_syn;
   std::vector<uint8_t> off_type;
   int max_misses;
+  // single-burst (<=5 bit) error correction, applied only while synced
+  // toward the expected type (twin of decoder.py burst_error_table):
+  // error-syndrome -> 26-bit error pattern, or -1
+  bool correct = true;
+  int32_t burst_tab[1024];
+  int64_t corrected = 0;
 
   std::vector<uint8_t> buf;
   int64_t pos_base = 0;
@@ -330,6 +336,50 @@ struct FrameSync {
   int misses = 0;
   uint16_t blocks[4] = {0, 0, 0, 0};
   uint8_t have = 0;   // bitmask of collected A/B/C/D
+
+  void build_burst_table() {
+    for (int i = 0; i < 1024; ++i) burst_tab[i] = -1;
+    for (int len = 1; len <= 5; ++len) {
+      for (int p = 0; p + len <= 26; ++p) {
+        int nmid = len <= 1 ? 1 : (1 << (len - 2));
+        for (int mid = 0; mid < nmid; ++mid) {
+          uint32_t pat = len == 1
+              ? 1u
+              : ((1u << (len - 1)) | (uint32_t(mid) << 1) | 1u);
+          uint32_t e = pat << (26 - p - len);
+          uint16_t s = 0;
+          for (int b = 0; b < 26; ++b)
+            if ((e >> (25 - b)) & 1u) s ^= rows[b];
+          burst_tab[s] = static_cast<int32_t>(e);
+        }
+      }
+    }
+  }
+
+  uint16_t syn_of_type(int t) const {
+    for (size_t i = 0; i < off_type.size(); ++i)
+      if (off_type[i] == t) return off_syn[i];
+    return 0;
+  }
+
+  // attempt burst correction toward the expected type; repairs buf at
+  // cursor in place and returns the block type, or -1
+  int try_correct(uint16_t s) {
+    if (!correct || expected < 0) return -1;
+    const int cands[2] = {expected, expected == 2 ? 3 : -1};
+    for (int ci = 0; ci < 2; ++ci) {
+      int cand = cands[ci];
+      if (cand < 0) break;
+      int32_t err = burst_tab[s ^ syn_of_type(cand)];
+      if (err >= 0) {
+        for (int b = 0; b < 26; ++b)
+          buf[cursor + b] ^= (err >> (25 - b)) & 1;
+        ++corrected;
+        return cand;
+      }
+    }
+    return -1;
+  }
 
   static int next_of(int t) {  // A->B->C/Cp->D->A
     switch (t) {
@@ -400,6 +450,7 @@ struct FrameSync {
         continue;
       }
 
+      if (btype < 0) btype = try_correct(s);
       bool ok = btype >= 0 &&
                 (expected < 0 || btype == expected ||
                  (expected == 2 && btype == 3));
@@ -578,7 +629,14 @@ void* dy4_framesync_create(const uint16_t rows[26],
   fs->off_syn.assign(off_syndromes, off_syndromes + n_off);
   fs->off_type.assign(off_types, off_types + n_off);
   fs->max_misses = max_misses;
+  fs->build_burst_table();
   return fs;
+}
+void dy4_framesync_set_correct(void* h, int on) {
+  static_cast<FrameSync*>(h)->correct = on != 0;
+}
+long long dy4_framesync_corrected(void* h) {
+  return static_cast<FrameSync*>(h)->corrected;
 }
 int dy4_framesync_push(void* h, const uint8_t* bits, size_t n,
                        uint16_t* out_blocks, int64_t* out_pos, int cap) {
@@ -612,8 +670,19 @@ void* dy4_fsbatch_create(const uint16_t rows[26],
     fs.off_syn.assign(off_syndromes, off_syndromes + n_off);
     fs.off_type.assign(off_types, off_types + n_off);
     fs.max_misses = max_misses;
+    fs.build_burst_table();
   }
   return b;
+}
+void dy4_fsbatch_set_correct(void* h, int on) {
+  for (FrameSync& fs : static_cast<FrameSyncBatch*>(h)->chans)
+    fs.correct = on != 0;
+}
+long long dy4_fsbatch_corrected(void* h) {
+  long long n = 0;
+  for (const FrameSync& fs : static_cast<FrameSyncBatch*>(h)->chans)
+    n += fs.corrected;
+  return n;
 }
 // bits: [channels, stride] u8 row-major; lens: per-channel valid counts
 // (NULL = all stride); reset_mask: per-channel pre-push reset (NULL = none).

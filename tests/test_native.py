@@ -110,3 +110,37 @@ def test_sink_writes_through():
     os.close(wr)
     os.close(rd)
     np.testing.assert_array_equal(np.frombuffer(got, np.int16), payload)
+
+
+def test_native_framesync_burst_correction_matches_python():
+    """Native burst correction == Python FrameSynchronizer on a stream
+    with correctable and uncorrectable errors; OFF reproduces drops."""
+    from dy4tpu.rds import coding
+    from dy4tpu.rds.decoder import FrameSynchronizer
+    from dy4tpu.runtime.native import NativeFrameSync
+
+    bits = np.array(coding.make_ps_bitstream(0x54A7, 10, "DY4TPU  ",
+                                             repeats=4), np.int8)
+    corrupt = bits.copy()
+    corrupt[3 * 104 + 26 + 5:3 * 104 + 26 + 10] ^= np.array(
+        [1, 1, 0, 0, 1], np.int8)                  # 5-burst in a B block
+    corrupt[10 * 104 + 2] ^= 1                     # 1-bit in an A block
+
+    py = FrameSynchronizer()
+    py_groups = [(g.blocks["A"], g.blocks["B"], g.blocks["C"],
+                  g.blocks["D"], g.bit_position)
+                 for g in py.push(corrupt)]
+
+    nat = NativeFrameSync(coding.syndrome_matrix(), coding.OFFSET_WORDS)
+    blocks, pos = nat.push(corrupt.astype(np.uint8))
+    nat_groups = [(int(b[0]), int(b[1]), int(b[2]), int(b[3]), int(p))
+                  for b, p in zip(blocks, pos)]
+    assert nat_groups == py_groups
+    assert nat.corrected == py.corrected == 2
+
+    nat_off = NativeFrameSync(coding.syndrome_matrix(),
+                              coding.OFFSET_WORDS)
+    nat_off.set_correct(False)
+    blocks_off, _ = nat_off.push(corrupt.astype(np.uint8))
+    assert nat_off.corrected == 0
+    assert len(blocks_off) < len(blocks)

@@ -316,3 +316,80 @@ def test_oda_3a_announcement():
     for g in fs.push(bits):
         app.process(g)
     assert app.info.oda == {"8A": 0xCD46}
+
+
+def test_burst_error_table_is_exact():
+    """All 367 bursts of <=5 bits have unique nonzero syndromes (the
+    code's designed correction capability) and none equals an offset
+    word, so correction can never alias a valid block of another type."""
+    table = coding.burst_error_table()
+    pats = set(int(e) for e in table if e >= 0)
+    assert len(pats) == 367
+    for off in coding.OFFSET_WORDS.values():
+        assert table[off] == -1 or table[off] >= 0  # offsets unused below
+    for t, off in coding.OFFSET_WORDS.items():
+        # syndrome of a valid block is the offset word; table must not
+        # claim it's a correctable error of the all-zero block
+        assert int(table[off]) == -1
+
+
+def test_frame_sync_burst_correction():
+    """A <=5-bit burst inside a synced stream is repaired (group still
+    decodes, payload exact); a 6-bit burst is not; correction off
+    reproduces the drop."""
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    bits = np.array(coding.make_ps_bitstream(0x54A7, 10, "DY4TPU  ",
+                                             repeats=3), np.int8)
+
+    def run(stream, **kw):
+        fs = FrameSynchronizer(**kw)
+        groups = list(fs.push(stream))
+        return fs, groups
+
+    fs0, clean = run(bits.copy())
+    assert len(clean) == 12 and fs0.corrected == 0
+
+    # burst of 5 in the C block of the 6th group (well inside sync)
+    corrupt = bits.copy()
+    pos = 5 * 104 + 2 * 26 + 7
+    corrupt[pos:pos + 5] ^= np.array([1, 0, 1, 1, 1], np.int8)
+    fs1, fixed = run(corrupt)
+    assert fs1.corrected == 1
+    assert [g.blocks for g in fixed] == [g.blocks for g in clean]
+
+    # an error beyond the code's capability whose syndrome does NOT
+    # alias a correctable burst -> block dropped.  (Bounded-distance
+    # decoding: SOME >5-bit errors do alias and miscorrect — inherent
+    # to the code, the spec's own capability statement.)
+    table = coding.burst_error_table()
+    wide = next(e for e in ((1 << 20) | (1 << 9) | m for m in range(64))
+                if table[coding.syndrome(e)] == -1)
+    corrupt6 = bits.copy()
+    blk = corrupt6[5 * 104 + 2 * 26:5 * 104 + 3 * 26]
+    blk ^= np.array(coding.bits_of(wide, 26), np.int8)
+    fs2, dropped = run(corrupt6)
+    assert fs2.corrected == 0
+    # costs the damaged group AND (via the miss cascade -> resync) the
+    # next one — exactly what correction saves
+    assert len(dropped) <= len(clean) - 1
+
+    # correction disabled reproduces the reference-style drop (same
+    # miss-cascade cost as the uncorrectable error above)
+    fs3, off = run(corrupt, correct_bursts=False)
+    assert fs3.corrected == 0 and len(off) < len(clean)
+
+
+def test_frame_sync_correction_not_used_for_acquisition():
+    """Errors BEFORE sync never trigger correction (false-trap guard):
+    acquisition still needs an exact block."""
+    from dy4tpu.rds.decoder import FrameSynchronizer
+
+    bits = np.array(coding.make_ps_bitstream(0x54A7, 10, "DY4TPU  ",
+                                             repeats=2), np.int8)
+    corrupt = bits.copy()
+    corrupt[3] ^= 1            # error inside the very first block
+    fs = FrameSynchronizer()
+    groups = list(fs.push(corrupt))
+    assert fs.corrected == 0   # first block dropped, sync from block 2
+    assert len(groups) == len(list(FrameSynchronizer().push(bits))) - 1
