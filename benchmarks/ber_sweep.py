@@ -57,7 +57,8 @@ def run_level(cfg, params, n_blocks: int, noise: float, seed: int):
     offs = np.asarray(outs.rds_offset)
 
     app = ApplicationLayer()
-    dec = RDSDecoder(on_group=app.process)
+    correct = os.environ.get("BER_CORRECT", "1") != "0"
+    dec = RDSDecoder(on_group=app.process, correct_bursts=correct)
     for b in range(n_blocks):
         dec.push_block(syms[b], resync=bool(resync[b]))
 
@@ -101,7 +102,7 @@ def run_level(cfg, params, n_blocks: int, noise: float, seed: int):
     best = err_total / max(n_total, 1)
     groups_tx = n_blocks * cfg.rds_symbols_per_block // (2 * 26 * 4)
     ok_groups = sum(1 for g in dec.groups if g.pi == PI)
-    return best, ok_groups, groups_tx, app.info.pi_hex
+    return best, ok_groups, groups_tx, app.info.pi_hex, dec.framer.corrected
 
 
 def main():
@@ -117,12 +118,13 @@ def main():
           f"({n_blocks * cfg.rds_symbols_per_block // 2} data bits); "
           f"noise = additive IQ amplitude vs unit FM envelope")
     print(f"{'noise':>6s} {'~SNR dB':>8s} {'sym BER':>9s} "
-          f"{'groups ok/tx':>13s} {'PI':>6s}")
+          f"{'groups ok/tx':>13s} {'PI':>6s} {'fixed':>6s}")
     for nz in levels:
-        ber, ok, tx, pi = run_level(cfg, params, n_blocks, nz, seed=7)
+        ber, ok, tx, pi, fixed = run_level(cfg, params, n_blocks, nz,
+                                           seed=7)
         snr = "inf" if nz == 0 else f"{20 * np.log10(1.0 / nz):.1f}"
         print(f"{nz:6.2f} {snr:>8s} {ber:9.4f} {ok:6d}/{tx:<6d} "
-              f"{pi or '--':>6s}")
+              f"{pi or '--':>6s} {fixed:6d}")
 
 
 if __name__ == "__main__":

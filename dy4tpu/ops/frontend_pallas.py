@@ -731,10 +731,18 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
         scratch += [pltpu.VMEM((bc_rows, _T + n_out), mm_dtype),
                     pltpu.VMEM((bc_rows, _T + n_out), jnp.float32)]
 
+    # the f32 (HIGHEST) variant can sit slightly over the default 16 MB
+    # scoped-VMEM budget at some geometries (e.g. C=1 single-station
+    # runs); the limit is a compiler default, not the hardware (round-4
+    # probe ran 128 MB) — raise it modestly for f32 only so the bf16
+    # serving path keeps its measured pipelining
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=24 << 20)
+               if mm_dtype == jnp.float32 else None)
     outs = pl.pallas_call(
         kern, grid=(c_pad // bc_rows,), in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape,
-        scratch_shapes=scratch, interpret=interpret)(*ins)
+        scratch_shapes=scratch, compiler_params=cparams,
+        interpret=interpret)(*ins)
 
     outs = [o[:c] for o in outs]
     if rds:
@@ -858,10 +866,18 @@ def fused_frontend_if(i_if: Array, q_if: Array, prev_i: Array,
         scratch += [pltpu.VMEM((bc_rows, _T + n_out), mm_dtype),
                     pltpu.VMEM((bc_rows, _T + n_out), jnp.float32)]
 
+    # the f32 (HIGHEST) variant can sit slightly over the default 16 MB
+    # scoped-VMEM budget at some geometries (e.g. C=1 single-station
+    # runs); the limit is a compiler default, not the hardware (round-4
+    # probe ran 128 MB) — raise it modestly for f32 only so the bf16
+    # serving path keeps its measured pipelining
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=24 << 20)
+               if mm_dtype == jnp.float32 else None)
     outs = pl.pallas_call(
         kern, grid=(c_pad // bc_rows,), in_specs=in_specs,
         out_specs=out_specs, out_shape=out_shape,
-        scratch_shapes=scratch, interpret=interpret)(*ins)
+        scratch_shapes=scratch, compiler_params=cparams,
+        interpret=interpret)(*ins)
 
     outs = [o[:c] for o in outs]
     if rds:

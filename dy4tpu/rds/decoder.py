@@ -228,9 +228,10 @@ class FrameSynchronizer:
 class RDSDecoder:
     """Full symbols -> groups decoder for one channel."""
 
-    def __init__(self, on_group: Optional[Callable[[Group], None]] = None):
+    def __init__(self, on_group: Optional[Callable[[Group], None]] = None,
+                 correct_bursts: bool = True):
         self.manchester = ManchesterDecoder()
-        self.framer = FrameSynchronizer()
+        self.framer = FrameSynchronizer(correct_bursts=correct_bursts)
         self.on_group = on_group
         self.groups: list[Group] = []
         self._last_offset: Optional[int] = None
