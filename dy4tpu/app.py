@@ -341,7 +341,12 @@ def main(argv: Optional[list[str]] = None) -> int:
               + (f" CT={info.clock_time_str}" if info.clock_time else "")
               + (" ODA=" + ",".join(f"{g}:{aid:04X}"
                                     for g, aid in sorted(info.oda.items()))
-                 if info.oda else ""),
+                 if info.oda else "")
+              + ("".join(
+                  f" EON[{on.pi:04X}]={on.ps_name or '?'!r}"
+                  + (f" TA={on.ta}" if on.ta is not None else "")
+                  for on in info.eon.values())
+                 if info.eon else ""),
               file=sys.stderr)
     return 0
 

@@ -32,6 +32,30 @@ PTY_NAMES_RBDS = [
 
 
 @dataclasses.dataclass
+class EonInfo:
+    """One other-network service assembled from type-14 groups
+    (spec 3.1.5.13 — beyond the reference's PI/PTY/PS-only layer)."""
+    pi: int
+    ps_segments: list = dataclasses.field(default_factory=lambda: [""] * 4)
+    pty: Optional[int] = None
+    tp: Optional[int] = None
+    ta: Optional[int] = None
+    af_khz: set = dataclasses.field(default_factory=set)
+    pin: Optional[tuple] = None
+    _af_skip: int = 0
+
+    @property
+    def ps_name(self) -> Optional[str]:
+        if all(self.ps_segments):
+            return "".join(self.ps_segments)
+        return None
+
+    @property
+    def af_mhz(self) -> list:
+        return [k / 1000.0 for k in sorted(self.af_khz)]
+
+
+@dataclasses.dataclass
 class StationInfo:
     pi: Optional[int] = None
     pty: Optional[int] = None
@@ -55,6 +79,11 @@ class StationInfo:
     ptyn_segments: list = dataclasses.field(
         default_factory=lambda: [""] * 2)    # group 10A programme type name
     ptyn_flag: Optional[int] = None
+    eon: dict = dataclasses.field(default_factory=dict)
+    #   group 14A/14B: PI(ON) -> EonInfo
+    oda_payloads: dict = dataclasses.field(default_factory=dict)
+    #   announced ODA carriers (group 3A): "8A" -> list of raw
+    #   (b_low5, block_c, block_d) payload tuples (capped)
     groups_seen: int = 0
 
     @property
@@ -113,6 +142,17 @@ class StationInfo:
         d, h, m = self.pin
         return f"day {d:02d} {h:02d}:{m:02d}"
 
+    @property
+    def oda_apps(self) -> dict:
+        """Announced open-data applications by carrier group, with the
+        registered application named ('RDS-TMC/Alert-C' = 0xCD46,
+        'RadioText+' = 0x4BD7; others shown as hex AIDs)."""
+        names = {0xCD46: "RDS-TMC/Alert-C", 0x4BD7: "RadioText+",
+                 0x6552: "Enhanced RadioText",
+                 0xC563: "DAB cross-reference"}
+        return {g: names.get(aid, f"AID {aid:04X}")
+                for g, aid in self.oda.items()}
+
 
 class ApplicationLayer:
     """Accumulates decoded groups into station info."""
@@ -134,6 +174,18 @@ class ApplicationLayer:
             self._af_skip = 1
         elif 1 <= code <= 204:
             self.info.af_khz.add(87500 + 100 * code)
+
+    @staticmethod
+    def _af_code_on(on: EonInfo, code: int) -> None:
+        """AF code for an other-network service (14A variant 4 — same
+        method-A coding as 0A block C)."""
+        if on._af_skip:
+            on._af_skip -= 1
+            return
+        if code == 250:
+            on._af_skip = 1
+        elif 1 <= code <= 204:
+            on.af_khz.add(87500 + 100 * code)
 
     def process(self, group: Group) -> StationInfo:
         info = self.info
@@ -217,6 +269,48 @@ class ApplicationLayer:
                         off = -off
                     y, mo, day = mjd_to_ymd(mjd)
                     info.clock_time = (y, mo, day, hour, minute, off)
+            if info.group_type == 14 and d is not None:
+                # EON (spec 3.1.5.13): block D = PI(ON); 14A block C
+                # carries the variant's info word, 14B is the
+                # change-over switch (TA(ON) in block B bit 3)
+                on = info.eon.get(d)
+                if on is None:
+                    on = info.eon[d] = EonInfo(pi=d)
+                on.tp = (b >> 4) & 1
+                c = group.blocks.get("C")
+                if info.version == "A" and c is not None:
+                    variant = b & 0xF
+                    if variant < 4:
+                        on.ps_segments[variant] = (
+                            chr((c >> 8) & 0xFF) + chr(c & 0xFF))
+                    elif variant == 4:
+                        self._af_code_on(on, (c >> 8) & 0xFF)
+                        self._af_code_on(on, c & 0xFF)
+                    elif variant == 13:
+                        on.pty = (c >> 11) & 0x1F
+                        on.ta = c & 1
+                    elif variant == 14 and (c >> 11) & 0x1F:
+                        on.pin = ((c >> 11) & 0x1F, (c >> 6) & 0x1F,
+                                  c & 0x3F)
+                elif info.version == "B":
+                    on.ta = (b >> 3) & 1
+            if info.group_type == 15 and info.version == "B":
+                # fast basic tuning (spec 3.1.5.21): a 0B block B
+                # without the PS chars, repeated verbatim in block D
+                seg = b & 0x3
+                info.ta = (b >> 4) & 1
+                info.ms = (b >> 3) & 1
+                bit = 3 - seg
+                info.di = (info.di & ~(1 << bit)) | (((b >> 2) & 1) << bit)
+            carrier = f"{info.group_type}{info.version}"
+            if carrier in info.oda and d is not None:
+                # raw ODA payload (37 bits: B's low 5 + C + D) for the
+                # announced application (e.g. 8A RDS-TMC) — surfaced,
+                # not interpreted; capped so a TMC firehose can't grow
+                # the record unboundedly
+                lst = info.oda_payloads.setdefault(carrier, [])
+                if len(lst) < 64:
+                    lst.append((b & 0x1F, group.blocks.get("C"), d))
         if self.verbose:
             # stderr: stdout must stay a clean PCM pipe (constraints pdf p.2)
             print(f"RDS group: PI={info.pi_hex} PTY={info.pty_name!r} "

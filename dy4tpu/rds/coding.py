@@ -335,6 +335,100 @@ def make_ptyn_bitstream(pi: int, pty: int, ptyn: str,
     return bits
 
 
+def make_group_14a(pi: int, pty: int, variant: int, info_word: int,
+                   pi_on: int, tp: int = 0, tp_on: int = 0) -> list[int]:
+    """One type-14A group (enhanced other networks, spec 3.1.5.13):
+    block B's low 4 bits select the variant, bit 4 is TP(ON), block C
+    carries the variant's information word and block D the PI(ON).
+
+    Variants used here: 0-3 PS(ON) segment (two chars), 4 AF(ON) method
+    A code pair, 13 PTY(ON)+TA(ON), 14 PIN(ON)."""
+    assert 0 <= variant < 16 and 0 <= info_word < (1 << 16)
+    block_a = pi
+    block_b = ((14 << 12) | (0 << 11) | (tp << 10)
+               | ((pty & 0x1F) << 5)
+               | ((tp_on & 1) << 4)
+               | (variant & 0xF))
+    bits: list[int] = []
+    for msg, t in ((block_a, "A"), (block_b, "B"), (info_word, "C"),
+                   (pi_on, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
+def make_group_14b(pi: int, pty: int, pi_on: int, tp_on: int = 0,
+                   ta_on: int = 0, tp: int = 0) -> list[int]:
+    """One type-14B group (EON change-over switch, spec 3.1.5.13):
+    block B carries TP(ON) bit 4 / TA(ON) bit 3, block C the PI under
+    the C' offset, block D the PI(ON)."""
+    block_a = pi
+    block_b = ((14 << 12) | (1 << 11) | (tp << 10)
+               | ((pty & 0x1F) << 5)
+               | ((tp_on & 1) << 4) | ((ta_on & 1) << 3))
+    bits: list[int] = []
+    for msg, t in ((block_a, "A"), (block_b, "B"), (pi, "Cp"),
+                   (pi_on, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
+def make_eon_bitstream(pi: int, pty: int, pi_on: int, ps_on: str,
+                       af_on_mhz=(), pty_on: int = 0, ta_on: int = 0,
+                       pin_on=None) -> list[int]:
+    """One pass of 14A groups describing an other-network service:
+    PS(ON) (variants 0-3), optional AF(ON) (variant 4, method A),
+    PTY(ON)/TA(ON) (variant 13), optional PIN(ON) (variant 14)."""
+    ps = (ps_on + " " * 8)[:8]
+    bits: list[int] = []
+    for seg in range(4):
+        w = (ord(ps[2 * seg]) << 8) | ord(ps[2 * seg + 1])
+        bits.extend(make_group_14a(pi, pty, seg, w, pi_on))
+    for w in (af_words(af_on_mhz) if af_on_mhz else ()):
+        bits.extend(make_group_14a(pi, pty, 4, w, pi_on))
+    bits.extend(make_group_14a(pi, pty, 13,
+                               ((pty_on & 0x1F) << 11) | (ta_on & 1),
+                               pi_on))
+    if pin_on is not None:
+        day, hour, minute = pin_on
+        w = ((day & 0x1F) << 11) | ((hour & 0x1F) << 6) | (minute & 0x3F)
+        bits.extend(make_group_14a(pi, pty, 14, w, pi_on))
+    return bits
+
+
+def make_group_15b(pi: int, pty: int, segment: int, tp: int = 0,
+                   ta: int = 0, ms: int = 1, di: int = 0) -> list[int]:
+    """One type-15B group (fast basic tuning/switching, spec 3.1.5.21):
+    blocks B and D carry IDENTICAL words (type/TP/PTY/TA/MS/DI/segment —
+    a 0B block B without the PS chars), block C is the PI under C'."""
+    assert 0 <= segment < 4
+    block_b = ((15 << 12) | (1 << 11) | (tp << 10)
+               | ((pty & 0x1F) << 5)
+               | ((ta & 1) << 4) | ((ms & 1) << 3) | ((di & 1) << 2)
+               | (segment & 0x3))
+    bits: list[int] = []
+    for msg, t in ((pi, "A"), (block_b, "B"), (pi, "Cp"),
+                   (block_b, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
+def make_group_oda(pi: int, pty: int, app_group: str, payload5: int,
+                   block_c: int, block_d: int, tp: int = 0) -> list[int]:
+    """One open-data group (e.g. 8A RDS-TMC, spec 3.1.5.12/annex): the
+    37-bit ODA payload rides in block B's low 5 bits + blocks C and D.
+    Pair with a 3A announcement (``make_group_3a``) naming the AID."""
+    gt = int(app_group[:-1])
+    ver = {"A": 0, "B": 1}[app_group[-1]]
+    assert ver == 0, "ODA version-B carriers lose block C to PI"
+    block_b = ((gt << 12) | (ver << 11) | (tp << 10)
+               | ((pty & 0x1F) << 5) | (payload5 & 0x1F))
+    bits: list[int] = []
+    for msg, t in ((pi, "A"), (block_b, "B"), (block_c, "C"),
+                   (block_d, "D")):
+        bits.extend(bits_of(encode_block(msg, t), NBITS_BLOCK))
+    return bits
+
+
 def ymd_to_mjd(year: int, month: int, day: int) -> int:
     """Modified Julian Day from a calendar date (RDS standard annex G)."""
     l = 1 if month in (1, 2) else 0

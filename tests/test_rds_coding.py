@@ -393,3 +393,73 @@ def test_frame_sync_correction_not_used_for_acquisition():
     groups = list(fs.push(corrupt))
     assert fs.corrected == 0   # first block dropped, sync from block 2
     assert len(groups) == len(list(FrameSynchronizer().push(bits))) - 1
+
+
+def test_eon_14a_roundtrip():
+    """14A EON: PS(ON), AF(ON), PTY/TA(ON) and PIN(ON) assemble under
+    the other network's PI (spec 3.1.5.13)."""
+    pi, pi_on = 0x54A7, 0x1FFF
+    bits = np.array(coding.make_eon_bitstream(
+        pi, 10, pi_on, "OTHERNET", af_on_mhz=(98.1, 101.5),
+        pty_on=4, ta_on=1, pin_on=(12, 17, 30)) * 2, np.int8)
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(bits):
+        app.process(g)
+    assert pi_on in app.info.eon
+    on = app.info.eon[pi_on]
+    assert on.ps_name == "OTHERNET"
+    assert on.af_mhz == [98.1, 101.5]
+    assert on.pty == 4 and on.ta == 1
+    assert on.pin == (12, 17, 30)
+    assert app.info.pi == pi          # tuning station untouched
+
+
+def test_eon_14b_changeover():
+    """14B change-over switch: TA(ON) lands on the right EON record."""
+    pi, pi_on = 0x54A7, 0x2ABC
+    bits = np.array(coding.make_group_14b(pi, 10, pi_on, tp_on=1,
+                                          ta_on=1) * 3, np.int8)
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(bits):
+        app.process(g)
+    on = app.info.eon[pi_on]
+    assert on.ta == 1 and on.tp == 1
+
+
+def test_fast_tuning_15b():
+    """15B fast basic tuning: TA/MS/DI land without PS chars; block D
+    repeats block B verbatim (spec 3.1.5.21)."""
+    pi = 0x54A7
+    bits = []
+    for seg in range(4):
+        bits.extend(coding.make_group_15b(pi, 7, seg, ta=1, ms=0,
+                                          di=seg & 1))
+    bits = np.array(bits * 2, np.int8)
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(bits):
+        app.process(g)
+    info = app.info
+    assert info.pi == pi and info.pty == 7
+    assert info.ta == 1 and info.ms == 0
+    assert info.di == 0b0101          # d3..d0 from segments 0..3
+    assert info.ps_name is None       # 15B carries no PS characters
+
+
+def test_oda_payload_capture():
+    """Announced ODA carrier groups (8A TMC) surface their raw 37-bit
+    payloads; unannounced carriers are ignored."""
+    pi = 0x54A7
+    bits = list(coding.make_group_3a(pi, 10, "8A", 0xCD46))
+    for k in range(3):
+        bits.extend(coding.make_group_oda(pi, 10, "8A", k + 1,
+                                          0x1234 + k, 0x5678 + k))
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(np.array(bits, np.int8)):
+        app.process(g)
+    assert app.info.oda_apps == {"8A": "RDS-TMC/Alert-C"}
+    assert app.info.oda_payloads["8A"] == [
+        (1, 0x1234, 0x5678), (2, 0x1235, 0x5679), (3, 0x1236, 0x567A)]
