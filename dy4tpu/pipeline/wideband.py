@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from dy4tpu.config import ModeConfig
+from dy4tpu.ops import afc as afc_ops
 from dy4tpu.ops.channelizer import (ChannelizerParams, ChannelizerState,
                                     channelize_block_u8,
                                     init_channelizer_state,
@@ -35,6 +36,7 @@ Array = jax.Array
 class WidebandState(NamedTuple):
     chan: ChannelizerState
     rx: receiver.ReceiverState
+    afc: Optional[afc_ops.AFCState] = None   # per-channel carrier track
 
 
 class WidebandOutputs(NamedTuple):
@@ -52,13 +54,17 @@ def make_wideband(cfg: ModeConfig, channels: int, *,
 
 def wideband_init(cfg: ModeConfig, chan: ChannelizerParams,
                   batch: tuple[int, ...] = (),
-                  with_rds: Optional[bool] = None) -> WidebandState:
+                  with_rds: Optional[bool] = None,
+                  afc: bool = False) -> WidebandState:
     """State for ``wideband_step``: channelizer tail + a C-channel
-    receiver state (the channel axis is the receiver batch axis)."""
+    receiver state (the channel axis is the receiver batch axis).
+    ``afc=True`` adds a per-channel carrier-offset tracking loop
+    (``ops/afc.py``) for stations sitting off the channel grid."""
     c = chan.channels
     return WidebandState(
         chan=init_channelizer_state(chan, batch=batch),
-        rx=receiver.init_state(cfg, batch=(*batch, c), with_rds=with_rds))
+        rx=receiver.init_state(cfg, batch=(*batch, c), with_rds=with_rds),
+        afc=afc_ops.init_afc_state(batch=(*batch, c)) if afc else None)
 
 
 def wideband_step(params: receiver.ReceiverParams,
@@ -66,7 +72,8 @@ def wideband_step(params: receiver.ReceiverParams,
                   wb_u8: Array, cfg: ModeConfig,
                   precision=jax.lax.Precision.HIGHEST,
                   with_rds: Optional[bool] = None,
-                  frontend: str = "auto", backend: str = "auto"
+                  frontend: str = "auto", backend: str = "auto",
+                  afc_alpha: float = 0.5
                   ) -> tuple[WidebandState, WidebandOutputs]:
     """One wideband block -> every station's audio + RDS outputs + RSSI.
 
@@ -89,6 +96,13 @@ def wideband_step(params: receiver.ReceiverParams,
     (y_i, y_q), chan_state = channelize_block_u8(
         chan, state.chan, wb_u8, precision=precision)
 
+    # per-channel AFC de-rotation (state carries it only when enabled):
+    # stations off the channel grid get re-centred before the receiver,
+    # and the loop closes on the mono output's block mean below
+    phase_next = None
+    if state.afc is not None:
+        y_i, y_q, phase_next = afc_ops.rotate(y_i, y_q, state.afc)
+
     # Run the receivers on a FLAT [prod(batch)*C] axis: the chain's
     # Pallas kernels and Toeplitz einsums pick better layouts with one
     # batch dim (measured 1.60 vs 2.42 ms/step at [32,16] vs [512] on
@@ -109,7 +123,19 @@ def wideband_step(params: receiver.ReceiverParams,
         backend=backend)
     rx_state = jax.tree.map(unfl, rx_state)
     out = jax.tree.map(unfl, out)
-    return (WidebandState(chan=chan_state, rx=rx_state),
+
+    new_afc = None
+    if state.afc is not None:
+        # the mono path is the audio LPF (unit DC gain) of the
+        # discriminator stream, so its block mean IS the residual
+        # offset in rad/IF-sample; clamp the estimate to half the
+        # channel half-width (beyond that the neighbour channel owns
+        # the carrier)
+        dc = jnp.mean(out.mono, axis=-1)
+        new_afc = afc_ops.update(state.afc, phase_next, dc,
+                                 alpha=afc_alpha,
+                                 max_freq=cfg.if_fs / 4.0, fs=cfg.if_fs)
+    return (WidebandState(chan=chan_state, rx=rx_state, afc=new_afc),
             WidebandOutputs(rx=out, rssi=rssi_dbfs(y_i, y_q)))
 
 

@@ -64,6 +64,9 @@ def main(argv=None) -> int:
                    help="wideband blocks per device dispatch")
     p.add_argument("--squelch-db", type=float, default=15.0,
                    help="'auto' threshold above the quietest channel")
+    p.add_argument("--afc", action="store_true",
+                   help="track per-channel carrier offsets (stations "
+                        "off the channel grid) and report them")
     args = p.parse_args(argv)
 
     from dy4tpu.utils import jaxenv
@@ -96,7 +99,8 @@ def main(argv=None) -> int:
 
     params = receiver.make_params(cfg)
     chan = wideband.make_wideband(cfg, c)
-    state = wideband.wideband_init(cfg, chan, with_rds=rds_on)
+    state = wideband.wideband_init(cfg, chan, with_rds=rds_on,
+                                   afc=args.afc)
 
     @functools.partial(jax.jit, static_argnames=("nk",))
     def run_chunk(state, blocks, nk):
@@ -148,8 +152,14 @@ def main(argv=None) -> int:
             audio = cat("mono")[:, ch].ravel()
         path = os.path.join(args.out_dir, f"station{ch:03d}.wav")
         dio.write_wav(path, audio, int(cfg.audio_fs))
+        extra = ""
+        if args.afc:
+            from dy4tpu.ops import afc as afc_ops
+            hz = float(np.asarray(
+                afc_ops.freq_hz(state.afc, cfg.if_fs))[ch])
+            extra = f", carrier {hz / 1e3:+.1f} kHz off-grid"
         print(f"ch {ch:3d}: wrote {path} ({len(audio)} frames, "
-              f"RSSI {rssi[ch]:.1f} dBFS)", file=sys.stderr)
+              f"RSSI {rssi[ch]:.1f} dBFS{extra})", file=sys.stderr)
 
     if rds_on:
         from dy4tpu.rds.app import ApplicationLayer

@@ -134,6 +134,11 @@ def synthesize_wideband(cfg: ModeConfig, channels: int, n_steps: int, *,
     rds_bits/a_*).  Returns interleaved u8 IQ of length
     ``2 * n_steps * channels * cfg.if_per_block``.  ``amp`` is the
     per-station amplitude (default ``0.9 / len(stations)``).
+
+    A station dict may carry ``carrier_offset_hz`` (popped before the
+    multiplex): the carrier sits that far off the channel grid, as real
+    transmitters/tuners do — the wideband AFC loop (``ops/afc.py``)
+    exists to track it.
     """
     n_if = n_steps * cfg.if_per_block
     n_w = n_if * channels
@@ -146,11 +151,14 @@ def synthesize_wideband(cfg: ModeConfig, channels: int, n_steps: int, *,
     for c, kw in stations.items():
         if not 0 <= c < channels:
             raise ValueError(f"station channel {c} outside [0, {channels})")
+        kw = dict(kw)
+        df = kw.pop("carrier_offset_hz", 0.0)
         m = multiplex(cfg, n_steps, **kw)
         m_w = sp.resample_poly(m, channels, 1)
         m_w = np.pad(m_w[:n_w], (0, max(0, n_w - len(m_w))))
         phase = 2 * np.pi * kf / fs_w * np.cumsum(m_w)
-        x = x + amp * np.exp(1j * (phase + 2 * np.pi * c * n / channels))
+        x = x + amp * np.exp(1j * (phase + 2 * np.pi * c * n / channels
+                                   + 2 * np.pi * df / fs_w * n))
 
     if noise > 0:
         rng = np.random.default_rng(seed)
