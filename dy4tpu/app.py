@@ -79,6 +79,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "windowed-sinc (parity default) or Kaiser "
                         "(beyond-parity, ~30 dB more alias rejection at "
                         "the same tap count)")
+    p.add_argument("--stereo-blend", action="store_true",
+                   help="fade the stereo difference channel out as the "
+                        "pilot-lock SNR weakens (standard receiver "
+                        "behaviour; default keeps the reference's "
+                        "always-full-stereo matrix)")
     p.add_argument("--deemphasis", choices=["off", "us", "eu"],
                    default="off",
                    help="FM de-emphasis (75 us / 50 us single-pole IIR) "
@@ -232,6 +237,10 @@ def main(argv: Optional[list[str]] = None) -> int:
             st, de = c
             st, out = receiver.receiver_step(params, st, blk, cfg,
                                              with_rds=want_rds)
+            if args.stereo_blend and stereo:
+                bl, br = mixops.stereo_blend(out.left, out.right,
+                                             out.pilot_snr_db)
+                out = out._replace(left=bl, right=br)
             if de_a is not None:
                 streams = ((out.left, out.right) if stereo
                            else (out.mono,))

@@ -50,3 +50,25 @@ def quantize_s16(x: Array, scale: float = 16384.0) -> Array:
 def squaring_nonlinearity(x: Array) -> Array:
     """x^2 carrier-recovery nonlinearity for RDS (fmMonoBlock.py:405-409)."""
     return x * x
+
+
+def stereo_blend(left: Array, right: Array, pilot_snr_db: Array,
+                 full_db: float = 14.0, mono_db: float = 4.0
+                 ) -> tuple[Array, Array]:
+    """Weak-signal stereo->mono blend (beyond-parity; standard receiver
+    behaviour — the reference always emits full stereo separation).
+
+    The stereo difference channel rides a DSB-SC subcarrier with ~20 dB
+    worse post-demod SNR than the mono sum, so real receivers fade S
+    out as the signal weakens instead of playing hiss in stereo.  The
+    per-block gain comes from the receiver's pilot-lock SNR estimate
+    (StepOutputs.pilot_snr_db): g=1 at ``full_db`` and above, g=0 at
+    ``mono_db`` and below, linear in dB between.  Applied post-matrix:
+    L' = M + g*S, R' = M - g*S with M=(L+R)/2, S=(L-R)/2 — so it
+    composes with any back end (stock or fused) without touching the
+    kernels."""
+    g = jnp.clip((pilot_snr_db - mono_db) / (full_db - mono_db),
+                 0.0, 1.0)[..., None]
+    m = 0.5 * (left + right)
+    s = 0.5 * (left - right)
+    return m + g * s, m - g * s

@@ -100,6 +100,9 @@ class StepOutputs(NamedTuple):
     #                               state only when this CHANGES (a resync
     #                               that re-finds the same phase keeps the
     #                               symbol stream continuous)
+    pilot_snr_db: Array = None    # [...] pilot-lock SNR estimate (dB) —
+    #                               drives the opt-in weak-signal stereo
+    #                               blend (ops/mix.py stereo_blend)
 
 
 class FrontState(NamedTuple):
@@ -766,6 +769,17 @@ def _finish_step(params: ReceiverParams, state: ReceiverState,
             fo.pilot, state.audio.pll, freq=cfg.pll_freq, fs=cfg.if_fs,
             nco_scale=cfg.pll_nco_scale, norm_bandwidth=cfg.pll_bandwidth)
 
+    # pilot-lock SNR estimate: pilot = A*cos(theta) + n(t) in its 1 kHz
+    # band, nco = cos(2*theta_hat), so E[pilot^2 * nco] = (A^2/4) *
+    # cos(2*phase_err) while the in-band noise is uncorrelated with the
+    # NCO — A^2 comes out without a reference carrier, and a mono-only
+    # station (no pilot) correctly reads -inf-ish (blend -> mono).
+    p2 = jnp.mean(fo.pilot * fo.pilot, axis=-1)
+    c2 = jnp.mean(fo.pilot * fo.pilot * nco, axis=-1)
+    sig = jnp.maximum(2.0 * c2, 0.0)               # = A^2/2
+    noise = jnp.maximum(p2 - sig, 1e-12)
+    pilot_snr_db = 10.0 * jnp.log10(jnp.maximum(sig, 1e-12) / noise)
+
     bstate, bo = back_step(params, back_state_of(state), fo, nco, nco_i,
                            nco_q, cfg, precision=precision,
                            rds_enabled=rds_enabled, backend=backend)
@@ -794,7 +808,8 @@ def _finish_step(params: ReceiverParams, state: ReceiverState,
     outputs = StepOutputs(mono=bo.mono, left=bo.left, right=bo.right,
                           rds_bb_i=rds_out[0], rds_bb_q=rds_out[1],
                           rds_symbols=rds_out[2], rds_sym_i=rds_out[3],
-                          rds_resync=rds_out[4], rds_offset=rds_out[5])
+                          rds_resync=rds_out[4], rds_offset=rds_out[5],
+                          pilot_snr_db=pilot_snr_db)
     return ReceiverState(rf=fstate.rf, audio=new_audio, rds=new_rds), outputs
 
 
