@@ -219,17 +219,21 @@ def _hraw_plan(k: int, decim: int, w0: int):
 
 def _kernel_raw(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
                 last_ref, ext_s, pg_s, *, decim: int, n_out: int, w0: int,
-                mm_dtype):
+                mm_dtype, split: int = 1):
     """Raw-stream channel tile: x [BC, bs] u8, tail [BC, w0] (raw scale,
     right-aligned), hr [W, 2T] (both legs' columns side by side),
     prev [BC, T] -> fm [BC, M], last.
     Scratch: ext_s [BC, w0+bs] mm (history ++ raw block), pg_s
-    [BC, J, W] mm (per-tile windows: one aligned bulk store for the
-    stride part + J tiny W0-slab copies for the overhang).
+    [split, BC, J/split, W] mm (per-tile windows: one aligned bulk store
+    for the stride part + J tiny W0-slab copies for the overhang).
 
     Both I/Q legs ride ONE [BC*J, W] x [W, 2T] dot: at this M (~480)
     the MXU is pipeline-drain-bound, and one N=256 dot measured 13%
-    faster than two N=128 dots at the exact shape (round-3 probe)."""
+    faster than two N=128 dots at the exact shape (round-3 probe).
+    ``split`` > 1 interleaves window-build and dot per J-half so the
+    VPU build of half s+1 can overlap the MXU dot of half s (round-4
+    experiment; the split axis leads the scratch so each half is a
+    contiguous slab)."""
     bc = fm_ref.shape[0]
     stride = 2 * _T * decim
     wlen = stride + w0
@@ -244,20 +248,26 @@ def _kernel_raw(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref, fm_ref,
     ext_s[:, w0:] = (x_ref[:].astype(jnp.int32).astype(jnp.float32)
                      .astype(mm_dtype))
 
-    pg_s[:, :, :stride] = ext_s[:, :bs].reshape(bc, j_tiles, stride)
-    for j in range(j_tiles):
-        pg_s[:, j, stride:] = ext_s[:, stride * (j + 1):
-                                    stride * (j + 1) + w0]
-    pg = pg_s[:].reshape(bc * j_tiles, wlen)
     prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-
     # remove the +128 offset BEFORE the demod: the discriminator is
     # scale-invariant but not offset-invariant.  raw-dot y = true + sum_h.
     sum_h = sumh_ref[0, 0]
-    y = jnp.dot(pg, hr_ref[:],
-                preferred_element_type=jnp.float32, precision=prec)
-    y = y.reshape(bc, j_tiles, 2 * _T)
+    jh = j_tiles // split
+    ys = []
+    for s in range(split):
+        j0 = s * jh
+        pg_s[s, :, :, :stride] = (
+            ext_s[:, j0 * stride:(j0 + jh) * stride]
+            .reshape(bc, jh, stride))
+        for j in range(jh):
+            pg_s[s, :, j, stride:] = ext_s[:, stride * (j0 + j + 1):
+                                           stride * (j0 + j + 1) + w0]
+        pg = pg_s[s].reshape(bc * jh, wlen)
+        ys.append(jnp.dot(pg, hr_ref[:],
+                          preferred_element_type=jnp.float32,
+                          precision=prec).reshape(bc, jh, 2 * _T))
+    y = ys[0] if split == 1 else jnp.concatenate(ys, axis=1)
     i_ds = y[:, :, :_T].reshape(bc, n_out) - sum_h
     q_ds = y[:, :, _T:].reshape(bc, n_out) - sum_h
     fm_ref[:] = _demod_emit(i_ds, q_ds, prev_ref, last_ref, n_out)
@@ -413,6 +423,7 @@ def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
                        mm_dtype=jnp.bfloat16,
                        bc_rows: int | None = None,
                        vmem_limit_bytes: int | None = None,
+                       split: int = 1,
                        interpret: bool = False
                        ) -> tuple[Array, Array, Array, Array]:
     """Raw-stream variant of ``fused_frontend``: identical contract, but
@@ -458,7 +469,8 @@ def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
         prev = jnp.pad(prev, ((0, pc), (0, 0)))
 
     kern = functools.partial(_kernel_raw, decim=decim, n_out=n_out,
-                             w0=w0, mm_dtype=mm_dtype)
+                             w0=w0, mm_dtype=mm_dtype, split=split)
+    assert (n_out // _T) % split == 0, (n_out, _T, split)
     wlen = stride + w0
     fm, last = pl.pallas_call(
         kern,
@@ -481,7 +493,8 @@ def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
         ],
         scratch_shapes=[
             pltpu.VMEM((bc_rows, w0 + bs), mm_dtype),
-            pltpu.VMEM((bc_rows, n_out // _T, wlen), mm_dtype),
+            pltpu.VMEM((split, bc_rows, n_out // _T // split, wlen),
+                       mm_dtype),
         ],
         compiler_params=(None if vmem_limit_bytes is None else
                          pltpu.CompilerParams(

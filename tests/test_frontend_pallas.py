@@ -416,3 +416,25 @@ def test_front_step_if_fused_flag_cpu_interpret(monkeypatch):
 def test_fused_if_geometry_gate():
     for m in (0, 1, 2, 3):
         receiver.fused_if_frontend_ok(get_mode(m))
+
+
+@pytest.mark.parametrize("split", [2, 3])
+def test_fused_frontend_raw_split_bit_identical(split):
+    """The split-J window-build/dot interleave (round-4 overlap probe,
+    benchmarks/micro_front_split.py) is bit-identical to the monolithic
+    kernel — the dot slabs are the same rows in the same order."""
+    rng = np.random.default_rng(11)
+    k, decim = 101, 10
+    n_out = 6 * frontend_pallas._T
+    bs = 2 * n_out * decim
+    from dy4tpu.ops import firdes
+    h = jnp.asarray(firdes.lpf(2.4e6, 100e3, k), jnp.float32)
+    iq = jnp.asarray(rng.integers(0, 256, (4, bs), dtype=np.uint8))
+    tail = jnp.asarray(rng.standard_normal((4, 2, k - 1)), jnp.float32) * .1
+    pv = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    base = frontend_pallas.fused_frontend_raw(iq, h, tail, pv, pv, decim,
+                                              interpret=True)
+    got = frontend_pallas.fused_frontend_raw(iq, h, tail, pv, pv, decim,
+                                             split=split, interpret=True)
+    for a, b in zip(base, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
