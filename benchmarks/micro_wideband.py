@@ -118,13 +118,16 @@ def main():
         t = bench_scan(lambda s, x, d=deint: u8_chan(s, x, d), st, wb_u8)
         print(f"u8->channelize ({deint}):         {t:8.3f} ms/step")
 
-    # 4. the whole wideband_step
-    ws = wideband.wideband_init(cfg, chan, batch=(BANDS,))
-    t = bench_scan(
-        lambda s, x: wideband.wideband_step(params, chan, s, x, cfg,
-                                            precision=P),
-        ws, wb_u8)
-    print(f"wideband_step [{BANDS}]x{CBANK}:              {t:8.3f} ms/step")
+    # 4. the whole wideband_step (AFC off = serving default, then on)
+    for use_afc in (False, True):
+        ws = wideband.wideband_init(cfg, chan, batch=(BANDS,),
+                                    afc=use_afc)
+        t = bench_scan(
+            lambda s, x: wideband.wideband_step(params, chan, s, x, cfg,
+                                                precision=P),
+            ws, wb_u8)
+        tag = "afc on " if use_afc else "default"
+        print(f"wideband_step [{BANDS}]x{CBANK} ({tag}):    {t:8.3f} ms/step")
 
 
 if __name__ == "__main__":
