@@ -90,6 +90,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "on the decoded audio; 'off' (parity default) "
                         "matches the reference, which never de-emphasizes "
                         "(project.cpp:95-134)")
+    p.add_argument("--rds-standard", choices=["rds", "rbds"],
+                   default="rds",
+                   help="PTY name table: 'rds' = European list, matching "
+                        "the reference (RDS_Application_layer.py:11-44); "
+                        "'rbds' = the North-American NRSC-4-B list")
     return p
 
 
@@ -121,7 +126,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     state = receiver.init_state(cfg, batch=(1,), with_rds=want_rds)
     block0 = 0
     decoder = RDSDecoder() if want_rds else None
-    applayer = ApplicationLayer(verbose=True) if want_rds else None
+    applayer = (ApplicationLayer(verbose=True, standard=args.rds_standard)
+                if want_rds else None)
 
     resume_host: dict = {}
     if args.resume:

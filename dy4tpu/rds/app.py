@@ -19,7 +19,13 @@ from typing import Optional
 
 from dy4tpu.rds.decoder import Group
 
-PTY_NAMES_RBDS = [
+# The reference's Program_Type_Codes table (RDS_Application_layer.py:11-44)
+# is the EUROPEAN RDS list (IEC 62106 annex F) even though the course
+# context is North American broadcast; it is kept verbatim as the parity
+# default.  The real North-American RBDS list (NRSC-4-B table D.2) assigns
+# different names from code 2 upward and is selectable with
+# ``standard="rbds"`` / CLI ``--rds-standard rbds``.
+PTY_NAMES_RDS = [
     "No programme type or undefined", "News", "Current Affairs",
     "Information", "Sport", "Education", "Drama", "Culture", "Science",
     "Varied", "Pop Music", "Rock Music", "Easy Listening Music",
@@ -29,6 +35,25 @@ PTY_NAMES_RBDS = [
     "National Music", "Oldies Music", "Folk Music", "Documentary",
     "Alarm Test", "Alarm",
 ]
+
+PTY_NAMES_RBDS = [
+    "No program type or undefined", "News", "Information", "Sports",
+    "Talk", "Rock", "Classic Rock", "Adult Hits", "Soft Rock", "Top 40",
+    "Country", "Oldies", "Soft", "Nostalgia", "Jazz", "Classical",
+    "Rhythm and Blues", "Soft Rhythm and Blues", "Foreign Language",
+    "Religious Music", "Religious Talk", "Personality", "Public",
+    "College", "Spanish Talk", "Spanish Music", "Hip-Hop", "Unassigned",
+    "Unassigned", "Weather", "Emergency Test", "Emergency",
+]
+
+PTY_TABLES = {"rds": PTY_NAMES_RDS, "rbds": PTY_NAMES_RBDS}
+
+
+def pty_name(code: Optional[int], standard: str = "rds") -> Optional[str]:
+    """Programme-type name for a 5-bit PTY code under either standard."""
+    if code is None:
+        return None
+    return PTY_TABLES[standard][code]
 
 
 @dataclasses.dataclass
@@ -58,6 +83,7 @@ class EonInfo:
 @dataclasses.dataclass
 class StationInfo:
     pi: Optional[int] = None
+    standard: str = "rds"   # PTY name table: "rds" (reference) | "rbds"
     pty: Optional[int] = None
     group_type: Optional[int] = None
     version: Optional[str] = None
@@ -92,9 +118,7 @@ class StationInfo:
 
     @property
     def pty_name(self) -> Optional[str]:
-        if self.pty is None:
-            return None
-        return PTY_NAMES_RBDS[self.pty]
+        return pty_name(self.pty, self.standard)
 
     @property
     def ps_name(self) -> Optional[str]:
@@ -157,8 +181,10 @@ class StationInfo:
 class ApplicationLayer:
     """Accumulates decoded groups into station info."""
 
-    def __init__(self, verbose: bool = False):
-        self.info = StationInfo()
+    def __init__(self, verbose: bool = False, standard: str = "rds"):
+        if standard not in PTY_TABLES:
+            raise ValueError(f"unknown RDS standard {standard!r}")
+        self.info = StationInfo(standard=standard)
         self.verbose = verbose
         self._af_skip = 0   # codes following a 250 marker are LF/MF
 

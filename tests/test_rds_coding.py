@@ -463,3 +463,36 @@ def test_oda_payload_capture():
     assert app.info.oda_apps == {"8A": "RDS-TMC/Alert-C"}
     assert app.info.oda_payloads["8A"] == [
         (1, 0x1234, 0x5678), (2, 0x1235, 0x5679), (3, 0x1236, 0x567A)]
+
+
+def test_pty_standard_tables():
+    """PTY names under both standards: the default 'rds' table matches the
+    reference's Program_Type_Codes (RDS_Application_layer.py:11-44, the
+    European IEC 62106 list); 'rbds' selects the NRSC-4-B names."""
+    from dy4tpu.rds import app as rds_app
+
+    # spot-check the parity default against the reference's literals
+    assert rds_app.pty_name(1) == "News"
+    assert rds_app.pty_name(2) == "Current Affairs"
+    assert rds_app.pty_name(10) == "Pop Music"
+    assert rds_app.pty_name(31) == "Alarm"
+    # the real North-American table diverges from code 2 upward
+    assert rds_app.pty_name(2, "rbds") == "Information"
+    assert rds_app.pty_name(9, "rbds") == "Top 40"
+    assert rds_app.pty_name(31, "rbds") == "Emergency"
+    assert rds_app.pty_name(None) is None
+    assert len(rds_app.PTY_NAMES_RDS) == len(rds_app.PTY_NAMES_RBDS) == 32
+
+    pi, pty, ps = 0x54A8, 10, "DY4 TPU "
+    bits = coding.make_ps_bitstream(pi, pty, ps, repeats=2)
+    for standard, name in (("rds", "Pop Music"), ("rbds", "Country")):
+        app = ApplicationLayer(standard=standard)
+        framer = FrameSynchronizer()
+        for i in range(0, len(bits), 38):
+            for g in framer.push(np.asarray(bits[i:i + 38], np.int8)):
+                app.process(g)
+        assert app.info.pty == pty
+        assert app.info.pty_name == name
+
+    with pytest.raises(ValueError):
+        ApplicationLayer(standard="nrsc")
