@@ -33,6 +33,7 @@ TPU design notes
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -120,6 +121,111 @@ def _make_step(kp, ki, dtheta, dtype):
     return step
 
 
+def _make_span_step(kp, ki, dtheta, span: int, dtype):
+    """Decimated-feedback ("span") PLL step: one loop-filter update per
+    ``span`` input samples — the opt-in throughput mode.
+
+    The exact recurrence is the receiver's only per-IF-sample dependency
+    chain, so its latency floor is ``N`` sequential steps per block.  This
+    variant samples the phase detector once per span and evolves the loop
+    through the span in closed form, cutting the sequential length to
+    ``N/span`` — NOT bit-exact vs the reference loop (src/filter.cpp:
+    174-228), so it is gated behind ``span>1`` / ``DY4TPU_PLL_SPAN`` and
+    the default stays the exact per-sample loop.
+
+    Derivation (err frozen over the span, sub-steps i = 1..K of the exact
+    loop):  I_i = I0 + i*ki*err;  P_i = P0 + i*kp*err + i*I0 +
+    ki*err*i(i+1)/2;  A_i = A0 + i*dtheta.  The carry update below is the
+    i=K closed form; the emitted per-span value is phi0 = A0 + P0 and the
+    within-span phases are reconstructed *vectorized* by the caller as
+        out_j = phi0 + j*(dtheta + kp*err + I0) + j(j+1)/2 * ki*err .
+    Loop dynamics match the per-sample loop under slowly-varying error
+    (the effective per-span gains are the held-error accumulation of the
+    per-sample gains), so bandwidth and lock behaviour carry over; the
+    detector is sampled K-fold less often, so phase jitter under noise
+    grows ~K-fold in variance — the quality bound is pinned in
+    tests/test_pll_span.py (lock, stereo separation, RDS decode).
+    """
+    pi = dtype.type(jnp.pi)
+    two_pi = dtype.type(2.0 * jnp.pi)
+    inv_two_pi = dtype.type(1.0 / (2.0 * jnp.pi))
+    wrap = dtype.type(_WRAP)
+    zero = dtype.type(0.0)
+    k = dtype.type(span)
+    kp_eff = k * kp + ki * dtype.type(span * (span + 1) / 2.0)
+    ki_eff = k * ki
+    dth = k * jnp.asarray(dtheta, dtype)
+    # pre-wrap the per-span angle increment (k*dtheta can exceed WRAP for
+    # the 114.5 kHz RDS carrier) so the in-loop conditional wrap stays total
+    dth_eff = dth - wrap * jnp.floor(dth / wrap)
+
+    def step(carry, inp):
+        integrator, phase_est, angle = carry
+        tk, zk = inp
+        phi = angle + phase_est
+        v = tk - phi + pi
+        error_d = v - two_pi * jnp.floor(v * inv_two_pi) - pi
+        error_d = jnp.where(zk, 0.0, error_d)
+        pe = phase_est + kp_eff * error_d + k * integrator
+        integrator = integrator + ki_eff * error_d
+        pe = pe - jnp.where(pe >= wrap, wrap, zero)
+        pe = pe + jnp.where(pe < 0.0, wrap, zero)
+        ang = angle + dth_eff
+        angle = ang - jnp.where(ang >= wrap, wrap, zero)
+        return (integrator, pe, angle), phi
+
+    return step
+
+
+def _span_targets(x, dtheta, span: int, dtype):
+    """Span-averaged phase-detector targets, fully vectorized.
+
+    The per-sample detector is err_i = wrap(pi*[x_i<0] - phi_i); sampling
+    it once per span aliases its 2f ripple into the loop band (measured:
+    NCO jitter grows ~sqrt(span)).  Instead, average the detector PHASOR
+    over the span with the NCO's known within-span ramp compensated:
+        S = sum_i sign(x_i) * exp(-j*i*dtheta),   T = arg(S),
+    so err = wrap(T - phi0) sees the full K-sample average (sign(x_i) IS
+    the per-sample target phasor: exp(j*pi*[x<0])).  S costs two [K]-dot
+    products against constant cos/sin ramps + one batched atan2 — all
+    outside the sequential scan.  Spans with no sign information
+    (all-zero input or full phasor cancellation) return NaN, which the
+    scan's zero-guard maps to err = 0.
+    """
+    xr = x.reshape(*x.shape[:-1], x.shape[-1] // span, span)
+    sgn = jnp.sign(xr)                                   # 0 drops the sample
+    i = jnp.arange(span, dtype=dtype)
+    ramp = jnp.asarray(dtheta, dtype)[..., None] * i     # [(lanes), K]
+    cosr = jnp.cos(ramp)[..., None, :]                   # [(lanes), 1, K]
+    sinr = jnp.sin(ramp)[..., None, :]
+    s_re = jnp.sum(sgn * cosr, axis=-1)                  # [..., M]
+    s_im = -jnp.sum(sgn * sinr, axis=-1)
+    t = jnp.arctan2(s_im, s_re)
+    dead = s_re * s_re + s_im * s_im < dtype.type(1e-6)
+    return jnp.where(dead, dtype.type(jnp.nan), t)
+
+
+def _span_expand(phi0, i0, targets, kp, ki, dtheta, span: int, dtype):
+    """Vectorized within-span phase reconstruction (see _make_span_step):
+    [..., M] per-span (phi0, I0, detector target) -> [..., M*span]."""
+    pi = dtype.type(jnp.pi)
+    two_pi = dtype.type(2.0 * jnp.pi)
+    inv_two_pi = dtype.type(1.0 / (2.0 * jnp.pi))
+    v = targets - phi0 + pi
+    err = v - two_pi * jnp.floor(v * inv_two_pi) - pi
+    err = jnp.where(jnp.isnan(targets), dtype.type(0.0), err)
+    kpb = jnp.asarray(kp, dtype)[..., None]
+    kib = jnp.asarray(ki, dtype)[..., None]
+    dthb = jnp.asarray(dtheta, dtype)[..., None]
+    lin = dthb + kpb * err + i0                       # [..., M]
+    quad = kib * err
+    j = jnp.arange(span, dtype=dtype)                 # [K]
+    tri = j * (j + dtype.type(1.0)) * dtype.type(0.5)
+    out = (phi0[..., None] + j * lin[..., None]
+           + tri * quad[..., None])                   # [..., M, K]
+    return out.reshape(*phi0.shape[:-1], phi0.shape[-1] * span)
+
+
 # sign codes for the gather-friendly PLL input representation: the input
 # enters the recurrence only through its sign + zero-guard, so an int8
 # code stream is a lossless (and 4x smaller) stand-in for the f32 signal.
@@ -189,7 +295,8 @@ def phase_scan_coded(codes: Array, carry: tuple[Array, Array, Array], *,
 def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
         nco_scale=1.0, phase_adjust: float = 0.0,
         norm_bandwidth=0.01,
-        unroll: int = 32, impl: str = "auto") -> tuple[Array, Array, PLLState]:
+        unroll: int = 32, impl: str = "auto",
+        span: int | None = None) -> tuple[Array, Array, PLLState]:
     """Run the PLL over a block (algebraic fast path).
 
     ``pll_in``: [..., N]; state fields: [...].  Returns
@@ -212,6 +319,14 @@ def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
     ``impl``: "scan" (XLA lax.scan), "pallas" (time-major TPU kernel,
     ops/pll_pallas.py — bit-identical output, much faster at serving
     batch), or "auto" (pallas on TPU, scan elsewhere).
+
+    ``span``: 1 (default; resolved from env ``DY4TPU_PLL_SPAN`` when
+    None) keeps the exact per-sample loop.  span>1 selects the
+    decimated-feedback throughput mode (_make_span_step): the loop filter
+    updates once per ``span`` samples and the within-span phases are
+    reconstructed vectorized — the sequential chain shrinks span-fold.
+    NOT bit-exact vs the reference; quality pinned in
+    tests/test_pll_span.py.  Requires ``N % span == 0``.
     """
     dtype = pll_in.dtype
     # constants may be scalars or per-lane arrays broadcastable against the
@@ -224,8 +339,37 @@ def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu"
                 and dtype == jnp.float32 else "scan")
+    if span is None:
+        span = int(os.environ.get("DY4TPU_PLL_SPAN", "1"))
     carry0 = (state.integrator, state.phase_est, state.angle)
-    if impl == "pallas":
+    if span > 1:
+        n = pll_in.shape[-1]
+        if n % span:
+            raise ValueError(f"block length {n} not divisible by "
+                             f"pll span {span}")
+        targets = _span_targets(pll_in, dtheta, span, dtype)  # [..., M]
+        if impl == "pallas":
+            from dy4tpu.ops import pll_pallas  # deferred: optional path
+            mk = lambda kp_, ki_, dth_: _make_span_step(kp_, ki_, dth_,
+                                                        span, dtype)
+            phi0, i0, (integ, pe, ang) = pll_pallas.phase_scan(
+                targets, kp, ki, dtheta, carry0, mk, emit_integ=True,
+                mode="target", interpret=jax.default_backend() != "tpu")
+        else:
+            tt = jnp.moveaxis(targets, -1, 0)
+            is_zero = jnp.isnan(tt)
+            sstep = _make_span_step(kp, ki, dtheta, span, dtype)
+
+            def wstep(c, inp):
+                c2, phi = sstep(c, inp)
+                return c2, (phi, c[0])   # emit pre-update integrator too
+
+            (integ, pe, ang), (phi0, i0) = lax.scan(
+                wstep, carry0, (tt, is_zero), unroll=unroll)
+            phi0 = jnp.moveaxis(phi0, 0, -1)
+            i0 = jnp.moveaxis(i0, 0, -1)
+        phis = _span_expand(phi0, i0, targets, kp, ki, dtheta, span, dtype)
+    elif impl == "pallas":
         from dy4tpu.ops import pll_pallas  # deferred: optional path
         mk = lambda kp_, ki_, dth_: _make_step(kp_, ki_, dth_, dtype)
         phis, (integ, pe, ang) = pll_pallas.phase_scan(

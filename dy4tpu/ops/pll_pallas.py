@@ -59,13 +59,24 @@ _CODE_ZERO = 2
 _CODE_INVALID = 3
 
 
-def _kernel(x_ref, kp_ref, ki_ref, dth_ref, carry_ref, phi_ref, mid_ref,
-            out_ref, carry_s, *scratch, chunk: int, make_step, coded: bool,
-            split_idx: int):
+def _kernel(x_ref, kp_ref, ki_ref, dth_ref, carry_ref, *refs, chunk: int,
+            make_step, mode: str, split_idx: int, emit_integ: bool):
     """One time chunk: x [T, S, L] -> phi [T, S, L]; carry [3, S, L]
     lives in ``carry_s`` scratch across the (sequential) grid.  When the
     grid reaches ``split_idx`` the pre-chunk carry is snapshotted to
-    ``mid_ref`` (the coded path's resume state)."""
+    ``mid_ref`` (the coded path's resume state).  ``emit_integ`` adds a
+    second [T, S, L] output carrying the pre-update integrator (the span
+    PLL's within-span reconstruction needs it, ops/pll.py).
+
+    ``mode``: "sign" (f32 samples, target = pi*[x<0]), "coded" (int8
+    sign codes), or "target" (f32 detector target phases directly — the
+    span PLL's averaged detector; NaN marks a dead span -> err 0)."""
+    coded = mode == "coded"
+    if emit_integ:
+        phi_ref, i0_ref, mid_ref, out_ref, carry_s, *scratch = refs
+    else:
+        phi_ref, mid_ref, out_ref, carry_s, *scratch = refs
+        i0_ref = None
     first = pl.program_id(0) == 0
     last = pl.program_id(0) == pl.num_programs(0) - 1
 
@@ -96,6 +107,8 @@ def _kernel(x_ref, kp_ref, ki_ref, dth_ref, carry_ref, phi_ref, mid_ref,
 
     def body(t, c):
         x = x_rows[t]
+        if emit_integ:
+            i0_ref[t] = c[0]
         if coded:
             tk = jnp.where(x == f_neg, pi, jnp.float32(0.0))
             zk = x == f_zero
@@ -104,6 +117,9 @@ def _kernel(x_ref, kp_ref, ki_ref, dth_ref, carry_ref, phi_ref, mid_ref,
             i0, p0, a0 = c
             c2 = (jnp.where(valid, i2, i0), jnp.where(valid, p2, p0),
                   jnp.where(valid, a2, a0))
+        elif mode == "target":
+            zk = x != x                      # NaN = dead span -> err 0
+            c2, phi = step(c, (x, zk))
         else:
             tk = jnp.where(x < 0, pi, jnp.float32(0.0))
             zk = x == 0.0
@@ -139,11 +155,13 @@ def _pick_chunk(n: int, align: int, s: int, target: int = 512) -> int:
 
 def _phase_scan_time_major(x_t: Array, kp: Array, ki: Array, dtheta: Array,
                            carry: tuple[Array, Array, Array], make_step,
-                           *, coded: bool, split_at: int,
+                           *, mode: str, split_at: int,
+                           emit_integ: bool = False,
                            interpret: bool = False):
-    """[N, S, 128] time-major core.  Returns (phi, carry_mid, carry_end);
-    ``carry_mid`` is the state after ``split_at`` samples (== the input
-    carry when split_at is 0 or never reached)."""
+    """[N, S, 128] time-major core.  Returns (phi, carry_mid, carry_end),
+    or (phi, i0, carry_mid, carry_end) with ``emit_integ``; ``carry_mid``
+    is the state after ``split_at`` samples (== the input carry when
+    split_at is 0 or never reached)."""
     n, s, l = x_t.shape
     assert l == _LANES and s % _SUBLANES == 0, (s, l)
     chunk = _pick_chunk(n, split_at, s)
@@ -151,38 +169,40 @@ def _phase_scan_time_major(x_t: Array, kp: Array, ki: Array, dtheta: Array,
     carry_arr = jnp.stack(carry)                        # [3, S, L]
 
     kern = functools.partial(_kernel, chunk=chunk, make_step=make_step,
-                             coded=coded, split_idx=split_idx)
+                             mode=mode, split_idx=split_idx,
+                             emit_integ=emit_integ)
     full = lambda i: (0, 0)                             # noqa: E731
     full3 = lambda i: (0, 0, 0)                         # noqa: E731
-    phi, mid, carry_out = pl.pallas_call(
+    row_spec = pl.BlockSpec((chunk, s, l), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_shape = jax.ShapeDtypeStruct((n, s, l), jnp.float32)
+    n_rows = 2 if emit_integ else 1
+    outs = pl.pallas_call(
         kern,
         grid=(n // chunk,),
         in_specs=[
-            pl.BlockSpec((chunk, s, l), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            row_spec,
             pl.BlockSpec((s, l), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((s, l), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((s, l), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, s, l), full3, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((chunk, s, l), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=[row_spec] * n_rows + [
             pl.BlockSpec((3, s, l), full3, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, s, l), full3, memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, s, l), jnp.float32),
+        out_shape=[row_shape] * n_rows + [
             jax.ShapeDtypeStruct((3, s, l), jnp.float32),
             jax.ShapeDtypeStruct((3, s, l), jnp.float32),
         ],
         scratch_shapes=([pltpu.VMEM((3, s, l), jnp.float32)]
                         + ([pltpu.VMEM((chunk, s, l), jnp.float32)]
-                           if coded else [])),
+                           if mode == "coded" else [])),
         interpret=interpret,
     )(x_t, kp, ki, dtheta, carry_arr)
+    *rows, mid, carry_out = outs
     unpack = lambda a: (a[0], a[1], a[2])               # noqa: E731
-    return phi, unpack(mid), unpack(carry_out)
+    return (*rows, unpack(mid), unpack(carry_out))
 
 
 class _Slab:
@@ -225,9 +245,12 @@ class _Slab:
 
 def phase_scan(pll_in: Array, kp: Array, ki: Array, dtheta: Array,
                carry: tuple[Array, Array, Array], make_step,
-               *, interpret: bool = False
-               ) -> tuple[Array, tuple[Array, Array, Array]]:
-    """Sign-path wrapper: ``pll_in`` [..., N] f32 -> (phis, carry_end).
+               *, emit_integ: bool = False, mode: str = "sign",
+               interpret: bool = False):
+    """Sign/target-path wrapper: ``pll_in`` [..., N] f32 ->
+    (phis, carry_end), or (phis, i0s, carry_end) with ``emit_integ``
+    (the span-PLL path, ops/pll.py — i0s are the pre-update integrators
+    per step; span mode feeds ``mode="target"`` detector phases).
 
     ``kp/ki/dtheta`` and the carry fields must broadcast to the batch
     shape ``[...]``; ``make_step(kp, ki, dth)`` is the ``pll._make_step``
@@ -235,10 +258,16 @@ def phase_scan(pll_in: Array, kp: Array, ki: Array, dtheta: Array,
     op sequence matches the XLA scan).
     """
     slab = _Slab(pll_in.shape[:-1])
-    phi, _, end = _phase_scan_time_major(
+    out = _phase_scan_time_major(
         slab.to_time_major(pll_in), slab.consts(kp), slab.consts(ki),
         slab.consts(dtheta), tuple(slab.consts(c) for c in carry),
-        make_step, coded=False, split_at=0, interpret=interpret)
+        make_step, mode=mode, split_at=0, emit_integ=emit_integ,
+        interpret=interpret)
+    if emit_integ:
+        phi, i0, _, end = out
+        return (slab.from_time_major(phi), slab.from_time_major(i0),
+                slab.carry_back(end))
+    phi, _, end = out
     return slab.from_time_major(phi), slab.carry_back(end)
 
 
@@ -254,6 +283,6 @@ def phase_scan_coded(codes: Array, kp: Array, ki: Array, dtheta: Array,
         slab.to_time_major(codes, fill=_CODE_INVALID),
         slab.consts(kp), slab.consts(ki), slab.consts(dtheta),
         tuple(slab.consts(c) for c in carry),
-        make_step, coded=True, split_at=split_at, interpret=interpret)
+        make_step, mode="coded", split_at=split_at, interpret=interpret)
     return (slab.from_time_major(phi), slab.carry_back(mid),
             slab.carry_back(end))
