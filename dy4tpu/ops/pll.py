@@ -352,9 +352,22 @@ def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
             from dy4tpu.ops import pll_pallas  # deferred: optional path
             mk = lambda kp_, ki_, dth_: _make_span_step(kp_, ki_, dth_,
                                                         span, dtype)
-            phi0, i0, (integ, pe, ang) = pll_pallas.phase_scan(
-                targets, kp, ki, dtheta, carry0, mk, emit_integ=True,
-                mode="target", interpret=jax.default_backend() != "tpu")
+            interp = jax.default_backend() != "tpu"
+            if os.environ.get("DY4TPU_SPAN_EMIT", "xla") == "kernel":
+                # measured NEGATIVE (kept for A/B): emitting the K
+                # within-span phases from the kernel serialises the K
+                # unrolled stores + err recompute with the carry chain —
+                # stage 11.7 -> 17.8 ms at K=8 (C=512 B=48).  The XLA
+                # expansion below overlaps with other chain stages.
+                phis, (integ, pe, ang) = pll_pallas.phase_scan(
+                    targets, kp, ki, dtheta, carry0, mk, mode="target",
+                    expand=span, interpret=interp)
+            else:
+                phi0, i0, (integ, pe, ang) = pll_pallas.phase_scan(
+                    targets, kp, ki, dtheta, carry0, mk, mode="target",
+                    emit_integ=True, interpret=interp)
+                phis = _span_expand(phi0, i0, targets, kp, ki, dtheta,
+                                    span, dtype)
         else:
             tt = jnp.moveaxis(targets, -1, 0)
             is_zero = jnp.isnan(tt)
@@ -368,7 +381,8 @@ def pll(pll_in: Array, state: PLLState, *, freq, fs: float,
                 wstep, carry0, (tt, is_zero), unroll=unroll)
             phi0 = jnp.moveaxis(phi0, 0, -1)
             i0 = jnp.moveaxis(i0, 0, -1)
-        phis = _span_expand(phi0, i0, targets, kp, ki, dtheta, span, dtype)
+            phis = _span_expand(phi0, i0, targets, kp, ki, dtheta, span,
+                                dtype)
     elif impl == "pallas":
         from dy4tpu.ops import pll_pallas  # deferred: optional path
         mk = lambda kp_, ki_, dth_: _make_step(kp_, ki_, dth_, dtype)

@@ -60,7 +60,8 @@ _CODE_INVALID = 3
 
 
 def _kernel(x_ref, kp_ref, ki_ref, dth_ref, carry_ref, *refs, chunk: int,
-            make_step, mode: str, split_idx: int, emit_integ: bool):
+            make_step, mode: str, split_idx: int, emit_integ: bool,
+            expand: int):
     """One time chunk: x [T, S, L] -> phi [T, S, L]; carry [3, S, L]
     lives in ``carry_s`` scratch across the (sequential) grid.  When the
     grid reaches ``split_idx`` the pre-chunk carry is snapshotted to
@@ -70,7 +71,14 @@ def _kernel(x_ref, kp_ref, ki_ref, dth_ref, carry_ref, *refs, chunk: int,
 
     ``mode``: "sign" (f32 samples, target = pi*[x<0]), "coded" (int8
     sign codes), or "target" (f32 detector target phases directly — the
-    span PLL's averaged detector; NaN marks a dead span -> err 0)."""
+    span PLL's averaged detector; NaN marks a dead span -> err 0).
+
+    ``expand`` (target mode only): emit the ``expand`` within-span
+    phases per step straight from the kernel (the ops mirror
+    ``pll._span_expand`` exactly so scan and kernel stay bit-identical)
+    instead of per-span (phi0, i0) rows — kills the separate XLA
+    expansion pass (one IF-rate HBM round trip).  The K stores are off
+    the carry dependency chain."""
     coded = mode == "coded"
     if emit_integ:
         phi_ref, i0_ref, mid_ref, out_ref, carry_s, *scratch = refs
@@ -120,11 +128,25 @@ def _kernel(x_ref, kp_ref, ki_ref, dth_ref, carry_ref, *refs, chunk: int,
         elif mode == "target":
             zk = x != x                      # NaN = dead span -> err 0
             c2, phi = step(c, (x, zk))
+            if expand:
+                # within-span reconstruction, op-for-op _span_expand
+                two_pi = jnp.float32(2.0 * jnp.pi)
+                inv_two_pi = jnp.float32(1.0 / (2.0 * jnp.pi))
+                v = x - phi + pi
+                err = v - two_pi * jnp.floor(v * inv_two_pi) - pi
+                err = jnp.where(zk, jnp.float32(0.0), err)
+                lin = dth_ref[:] + kp_ref[:] * err + c[0]
+                quad = ki_ref[:] * err
+                for j in range(expand):
+                    jf = jnp.float32(j)
+                    tri = jnp.float32(j * (j + 1) / 2.0)
+                    phi_ref[t * expand + j] = phi + jf * lin + tri * quad
         else:
             tk = jnp.where(x < 0, pi, jnp.float32(0.0))
             zk = x == 0.0
             c2, phi = step(c, (tk, zk))
-        phi_ref[t] = phi
+        if not expand:
+            phi_ref[t] = phi
         return c2
 
     # NOTE: Mosaic's fori lowering only supports unroll=1 or full unroll
@@ -139,12 +161,15 @@ def _kernel(x_ref, kp_ref, ki_ref, dth_ref, carry_ref, *refs, chunk: int,
         out_ref[:] = carry_s[:]
 
 
-def _pick_chunk(n: int, align: int, s: int, target: int = 512) -> int:
+def _pick_chunk(n: int, align: int, s: int, target: int = 512,
+                rows_per_step: int = 2) -> int:
     """Largest d <= target with d | n and d | align (so the split lands
     on a chunk boundary), capped so the double-buffered in/out blocks fit
-    the ~16 MB VMEM scope (4 x chunk x s x 128 x 4B + carries)."""
+    the ~16 MB VMEM scope (2 x rows_per_step x chunk x s x 128 x 4B +
+    carries; rows_per_step = input rows + output rows per time step)."""
     budget = 12 * 1024 * 1024
-    target = min(target, max(1, budget // (4 * s * _LANES * 4)))
+    target = min(target,
+                 max(1, budget // (2 * rows_per_step * s * _LANES * 4)))
     g = math.gcd(n, align) if align else n
     best = 1
     for d in range(1, target + 1):
@@ -156,26 +181,33 @@ def _pick_chunk(n: int, align: int, s: int, target: int = 512) -> int:
 def _phase_scan_time_major(x_t: Array, kp: Array, ki: Array, dtheta: Array,
                            carry: tuple[Array, Array, Array], make_step,
                            *, mode: str, split_at: int,
-                           emit_integ: bool = False,
+                           emit_integ: bool = False, expand: int = 0,
                            interpret: bool = False):
     """[N, S, 128] time-major core.  Returns (phi, carry_mid, carry_end),
     or (phi, i0, carry_mid, carry_end) with ``emit_integ``; ``carry_mid``
     is the state after ``split_at`` samples (== the input carry when
-    split_at is 0 or never reached)."""
+    split_at is 0 or never reached).  With ``expand`` = K > 0 (target
+    mode) the phi output has K rows per input row — the within-span
+    phases emitted in-kernel."""
     n, s, l = x_t.shape
     assert l == _LANES and s % _SUBLANES == 0, (s, l)
-    chunk = _pick_chunk(n, split_at, s)
+    chunk = _pick_chunk(n, split_at, s,
+                        rows_per_step=1 + max(expand, 1) + emit_integ)
     split_idx = split_at // chunk if split_at else 0
     carry_arr = jnp.stack(carry)                        # [3, S, L]
 
     kern = functools.partial(_kernel, chunk=chunk, make_step=make_step,
                              mode=mode, split_idx=split_idx,
-                             emit_integ=emit_integ)
+                             emit_integ=emit_integ, expand=expand)
     full = lambda i: (0, 0)                             # noqa: E731
     full3 = lambda i: (0, 0, 0)                         # noqa: E731
     row_spec = pl.BlockSpec((chunk, s, l), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((n, s, l), jnp.float32)
+    ex = max(expand, 1)
+    phi_spec = pl.BlockSpec((chunk * ex, s, l), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    phi_shape = jax.ShapeDtypeStruct((n * ex, s, l), jnp.float32)
     n_rows = 2 if emit_integ else 1
     outs = pl.pallas_call(
         kern,
@@ -187,11 +219,11 @@ def _phase_scan_time_major(x_t: Array, kp: Array, ki: Array, dtheta: Array,
             pl.BlockSpec((s, l), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, s, l), full3, memory_space=pltpu.VMEM),
         ],
-        out_specs=[row_spec] * n_rows + [
+        out_specs=[phi_spec] + [row_spec] * (n_rows - 1) + [
             pl.BlockSpec((3, s, l), full3, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, s, l), full3, memory_space=pltpu.VMEM),
         ],
-        out_shape=[row_shape] * n_rows + [
+        out_shape=[phi_shape] + [row_shape] * (n_rows - 1) + [
             jax.ShapeDtypeStruct((3, s, l), jnp.float32),
             jax.ShapeDtypeStruct((3, s, l), jnp.float32),
         ],
@@ -246,11 +278,13 @@ class _Slab:
 def phase_scan(pll_in: Array, kp: Array, ki: Array, dtheta: Array,
                carry: tuple[Array, Array, Array], make_step,
                *, emit_integ: bool = False, mode: str = "sign",
-               interpret: bool = False):
+               expand: int = 0, interpret: bool = False):
     """Sign/target-path wrapper: ``pll_in`` [..., N] f32 ->
     (phis, carry_end), or (phis, i0s, carry_end) with ``emit_integ``
     (the span-PLL path, ops/pll.py — i0s are the pre-update integrators
-    per step; span mode feeds ``mode="target"`` detector phases).
+    per step; span mode feeds ``mode="target"`` detector phases).  With
+    ``expand`` = K (target mode) phis has K samples per input sample —
+    the within-span reconstruction done in-kernel.
 
     ``kp/ki/dtheta`` and the carry fields must broadcast to the batch
     shape ``[...]``; ``make_step(kp, ki, dth)`` is the ``pll._make_step``
@@ -262,7 +296,7 @@ def phase_scan(pll_in: Array, kp: Array, ki: Array, dtheta: Array,
         slab.to_time_major(pll_in), slab.consts(kp), slab.consts(ki),
         slab.consts(dtheta), tuple(slab.consts(c) for c in carry),
         make_step, mode=mode, split_at=0, emit_integ=emit_integ,
-        interpret=interpret)
+        expand=expand, interpret=interpret)
     if emit_integ:
         phi, i0, _, end = out
         return (slab.from_time_major(phi), slab.from_time_major(i0),

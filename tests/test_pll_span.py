@@ -82,8 +82,16 @@ def test_span_streaming_continuity():
                                   np.concatenate([aq, bq], -1))
 
 
-def test_span_pallas_matches_scan():
-    # the Pallas kernel runs the same span-step closure -> bit-identical
+@pytest.mark.parametrize("emit", ["xla", "kernel"])
+def test_span_pallas_matches_scan(monkeypatch, emit):
+    # The Pallas kernel runs the same span-step closure, so the CARRY
+    # trajectory is bit-identical and the default (xla-expansion) path
+    # reconstructs identical NCO samples.  The kernel-emit A/B variant
+    # (DY4TPU_SPAN_EMIT=kernel, measured slower — ops/pll.py) uses the
+    # same expansion ops but fma contraction may differ between the two
+    # lowerings: emitted samples pinned to <4e-6 (measured 3.8e-6 max),
+    # far inside the 5e-3 golden PLL bound.
+    monkeypatch.setenv("DY4TPU_SPAN_EMIT", emit)
     fs = 240e3
     n = 4096
     t = np.arange(n) / fs
@@ -96,8 +104,14 @@ def test_span_pallas_matches_scan():
                              nco_scale=2.0, span=SPAN, impl="scan")
     p_i, p_q, p_st = pll.pll(jnp.asarray(x), st, freq=19e3, fs=fs,
                              nco_scale=2.0, span=SPAN, impl="pallas")
-    np.testing.assert_array_equal(np.asarray(s_i), np.asarray(p_i))
-    np.testing.assert_array_equal(np.asarray(s_q), np.asarray(p_q))
+    if emit == "xla":
+        np.testing.assert_array_equal(np.asarray(s_i), np.asarray(p_i))
+        np.testing.assert_array_equal(np.asarray(s_q), np.asarray(p_q))
+    else:
+        np.testing.assert_allclose(np.asarray(s_i), np.asarray(p_i),
+                                   atol=4e-6)
+        np.testing.assert_allclose(np.asarray(s_q), np.asarray(p_q),
+                                   atol=4e-6)
     for a, b in zip(s_st, p_st):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
