@@ -357,6 +357,11 @@ def main(argv: Optional[list[str]] = None) -> int:
               + (" ODA=" + ",".join(f"{g}:{aid:04X}"
                                     for g, aid in sorted(info.oda.items()))
                  if info.oda else "")
+              + (" RT+=" + ",".join(f"{k}={v!r}"
+                                    for k, v in info.rtplus.items())
+                 if info.rtplus else "")
+              + (" TMC=[" + "; ".join(info.tmc_str) + "]"
+                 if info.tmc_messages else "")
               + ("".join(
                   f" EON[{on.pi:04X}]={on.ps_name or '?'!r}"
                   + (f" TA={on.ta}" if on.ta is not None else "")

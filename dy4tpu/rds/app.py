@@ -48,6 +48,45 @@ PTY_NAMES_RBDS = [
 
 PTY_TABLES = {"rds": PTY_NAMES_RDS, "rbds": PTY_NAMES_RBDS}
 
+# RadioText+ (RDS Forum R06/040_1, IEC 62106-6) content-type classes the
+# decoder names; anything else renders as "TYPE_nn".  RT+ tags are
+# (start, length) windows into the CURRENT radiotext.
+RTPLUS_CLASSES = {
+    1: "ITEM.TITLE", 2: "ITEM.ALBUM", 3: "ITEM.TRACKNUMBER",
+    4: "ITEM.ARTIST", 5: "ITEM.COMPOSITION", 6: "ITEM.MOVEMENT",
+    7: "ITEM.CONDUCTOR", 8: "ITEM.COMPOSER", 9: "ITEM.BAND",
+    10: "ITEM.COMMENT", 11: "ITEM.GENRE", 12: "INFO.NEWS",
+    13: "INFO.NEWS.LOCAL", 14: "INFO.STOCKMARKET", 15: "INFO.SPORT",
+    16: "INFO.LOTTERY", 17: "INFO.HOROSCOPE", 18: "INFO.DAILY_DIVERSION",
+    19: "INFO.HEALTH", 20: "INFO.EVENT", 21: "INFO.SCENE",
+    22: "INFO.CINEMA", 23: "INFO.TV", 24: "INFO.DATE_TIME",
+    25: "INFO.WEATHER", 26: "INFO.TRAFFIC", 27: "INFO.ALARM",
+    28: "INFO.ADVERTISEMENT", 29: "INFO.URL", 30: "INFO.OTHER",
+    31: "STATIONNAME.SHORT", 32: "STATIONNAME.LONG",
+    33: "PROGRAMME.NOW", 34: "PROGRAMME.NEXT", 35: "PROGRAMME.PART",
+    36: "PROGRAMME.HOST", 37: "PROGRAMME.EDITORIAL_STAFF",
+    38: "PROGRAMME.FREQUENCY", 39: "PROGRAMME.HOMEPAGE",
+    40: "PROGRAMME.SUBCHANNEL", 41: "PHONE.HOTLINE", 42: "PHONE.STUDIO",
+    43: "PHONE.OTHER", 44: "SMS.STUDIO", 45: "SMS.OTHER",
+    46: "EMAIL.HOTLINE", 47: "EMAIL.STUDIO", 48: "EMAIL.OTHER",
+    49: "MMS.OTHER", 50: "CHAT", 51: "CHAT.CENTRE", 52: "VOTE.QUESTION",
+    53: "VOTE.CENTRE", 59: "PLACE", 60: "APPOINTMENT", 61: "IDENTIFIER",
+    62: "PURCHASE", 63: "GET_DATA",
+}
+
+# Illustrative subset of the Alert-C event list (ISO 14819-2) so common
+# TMC messages read as text; unknown codes render numerically.
+TMC_EVENTS = {
+    101: "stationary traffic", 102: "stationary traffic for 1 km",
+    108: "queuing traffic", 115: "slow traffic", 124: "heavy traffic",
+    201: "accident", 203: "multi-vehicle accident",
+    210: "accident involving a lorry", 241: "shed load",
+    401: "closed", 402: "blocked", 500: "lane closures",
+    701: "roadworks", 703: "road narrowed", 801: "resurfacing work",
+    1101: "ice", 1102: "danger of aquaplaning", 1107: "strong winds",
+    2000: "closed due to snow",
+}
+
 
 def pty_name(code: Optional[int], standard: str = "rds") -> Optional[str]:
     """Programme-type name for a 5-bit PTY code under either standard."""
@@ -110,6 +149,15 @@ class StationInfo:
     oda_payloads: dict = dataclasses.field(default_factory=dict)
     #   announced ODA carriers (group 3A): "8A" -> list of raw
     #   (b_low5, block_c, block_d) payload tuples (capped)
+    rtplus_tags: dict = dataclasses.field(default_factory=dict)
+    #   RadioText+ (AID 0x4BD7): content-type code -> (start, length)
+    rtplus_toggle: Optional[int] = None     # item toggle bit (new item
+    #   flips it; tags from the old item are cleared)
+    rtplus_running: Optional[int] = None
+    tmc_messages: list = dataclasses.field(default_factory=list)
+    #   RDS-TMC (AID 0xCD46) single-group user messages, capped; each is
+    #   dict(event, location, extent, direction, diversion, duration)
+    tmc_other: int = 0   # multi-group/system 8A groups (counted only)
     groups_seen: int = 0
 
     @property
@@ -167,6 +215,37 @@ class StationInfo:
         return f"day {d:02d} {h:02d}:{m:02d}"
 
     @property
+    def rtplus(self) -> dict:
+        """RadioText+ tags resolved against the current radiotext:
+        {'ITEM.TITLE': 'Song name', 'ITEM.ARTIST': ...}.  Tags are
+        (start, length) windows into the 2A/2B text (RT+ spec 2.2), so
+        they resolve once the referenced segments have arrived."""
+        rt = self.radiotext
+        if rt is None or not self.rtplus_tags:
+            return {}
+        pad = "    " if self.rt_version != "B" else "  "
+        full = "".join(s if s else pad for s in self.rt_segments)
+        out = {}
+        for ctype, (start, length) in sorted(self.rtplus_tags.items()):
+            text = full[start:start + length + 1].rstrip()
+            if text:
+                out[RTPLUS_CLASSES.get(ctype, f"TYPE_{ctype}")] = text
+        return out
+
+    @property
+    def tmc_str(self) -> list:
+        """Human-readable single-group TMC messages."""
+        out = []
+        for m in self.tmc_messages:
+            ev = TMC_EVENTS.get(m["event"], f"event {m['event']}")
+            out.append(
+                f"{ev} at location {m['location']}"
+                + (f" extent {'+' if m['direction'] == 0 else '-'}"
+                   f"{m['extent']}" if m["extent"] else "")
+                + (" (diversion advised)" if m["diversion"] else ""))
+        return out
+
+    @property
     def oda_apps(self) -> dict:
         """Announced open-data applications by carrier group, with the
         registered application named ('RDS-TMC/Alert-C' = 0xCD46,
@@ -212,6 +291,46 @@ class ApplicationLayer:
             on._af_skip = 1
         elif 1 <= code <= 204:
             on.af_khz.add(87500 + 100 * code)
+
+    def _rtplus(self, b5: int, c: int, d: int) -> None:
+        """RadioText+ application group (RT+ spec R06/040_1 §2.1, IEC
+        62106-6): two tags per group, each a (content type, start,
+        length) window into the current radiotext.  The item-toggle bit
+        flips when a new item starts — stale tags are cleared."""
+        info = self.info
+        toggle = (b5 >> 4) & 1
+        if info.rtplus_toggle is not None and toggle != info.rtplus_toggle:
+            info.rtplus_tags = {}
+        info.rtplus_toggle = toggle
+        info.rtplus_running = (b5 >> 3) & 1
+        ct1 = ((b5 & 0x7) << 3) | ((c >> 13) & 0x7)
+        ct2 = ((c & 1) << 5) | ((d >> 11) & 0x1F)
+        for ct, start, length in (
+                (ct1, (c >> 7) & 0x3F, (c >> 1) & 0x3F),
+                (ct2, (d >> 5) & 0x3F, d & 0x1F)):
+            if ct:                          # class 0 = DUMMY_CLASS
+                info.rtplus_tags[ct] = (start, length)
+
+    def _tmc(self, b5: int, c: int, d: int) -> None:
+        """RDS-TMC Alert-C (ISO 14819-1 §5.3): decode single-group user
+        messages; tuning/system groups (T set) and multi-group
+        continuations are counted in ``tmc_other``, not interpreted."""
+        info = self.info
+        t_bit = (b5 >> 4) & 1               # 1 = tuning/system group
+        single = (b5 >> 3) & 1              # F: 1 = single-group message
+        if t_bit or not single:
+            info.tmc_other += 1
+            return
+        msg = {
+            "event": c & 0x7FF,
+            "location": d,
+            "extent": (c >> 11) & 0x7,
+            "direction": (c >> 14) & 1,
+            "diversion": (c >> 15) & 1,
+            "duration": b5 & 0x7,           # DP: duration & persistence
+        }
+        if msg not in info.tmc_messages and len(info.tmc_messages) < 32:
+            info.tmc_messages.append(msg)
 
     def process(self, group: Group) -> StationInfo:
         info = self.info
@@ -331,12 +450,20 @@ class ApplicationLayer:
             carrier = f"{info.group_type}{info.version}"
             if carrier in info.oda and d is not None:
                 # raw ODA payload (37 bits: B's low 5 + C + D) for the
-                # announced application (e.g. 8A RDS-TMC) — surfaced,
-                # not interpreted; capped so a TMC firehose can't grow
-                # the record unboundedly
+                # announced application — surfaced always, and decoded
+                # for the two registered apps we speak: RadioText+
+                # (0x4BD7) and RDS-TMC/Alert-C (0xCD46); capped so a
+                # TMC firehose can't grow the record unboundedly
                 lst = info.oda_payloads.setdefault(carrier, [])
                 if len(lst) < 64:
                     lst.append((b & 0x1F, group.blocks.get("C"), d))
+                c = group.blocks.get("C")
+                if c is not None:
+                    aid = info.oda[carrier]
+                    if aid == 0x4BD7:
+                        self._rtplus(b & 0x1F, c, d)
+                    elif aid == 0xCD46:
+                        self._tmc(b & 0x1F, c, d)
         if self.verbose:
             # stderr: stdout must stay a clean PCM pipe (constraints pdf p.2)
             print(f"RDS group: PI={info.pi_hex} PTY={info.pty_name!r} "

@@ -429,6 +429,37 @@ def make_group_oda(pi: int, pty: int, app_group: str, payload5: int,
     return bits
 
 
+def make_group_rtplus(pi: int, pty: int, app_group: str,
+                      tag1: tuple[int, int, int],
+                      tag2: tuple[int, int, int] = (0, 0, 0),
+                      toggle: int = 0, running: int = 1,
+                      tp: int = 0) -> list[int]:
+    """One RadioText+ application group (RT+ spec R06/040_1 §2.1; AID
+    0x4BD7, announce with ``make_group_3a``): each ``tag`` is
+    (content_type, start, length) pointing into the current radiotext."""
+    ct1, s1, l1 = tag1
+    ct2, s2, l2 = tag2
+    assert 0 <= ct1 < 64 and 0 <= ct2 < 64 and l1 < 64 and l2 < 32
+    b5 = ((toggle & 1) << 4) | ((running & 1) << 3) | ((ct1 >> 3) & 0x7)
+    block_c = (((ct1 & 0x7) << 13) | ((s1 & 0x3F) << 7)
+               | ((l1 & 0x3F) << 1) | ((ct2 >> 5) & 1))
+    block_d = ((ct2 & 0x1F) << 11) | ((s2 & 0x3F) << 5) | (l2 & 0x1F)
+    return make_group_oda(pi, pty, app_group, b5, block_c, block_d, tp=tp)
+
+
+def make_group_tmc_single(pi: int, pty: int, event: int, location: int,
+                          extent: int = 0, direction: int = 0,
+                          diversion: int = 0, duration: int = 0,
+                          tp: int = 0) -> list[int]:
+    """One RDS-TMC Alert-C single-group user message (ISO 14819-1 §5.3;
+    AID 0xCD46 on 8A, announce with ``make_group_3a``)."""
+    assert 0 <= event < (1 << 11) and 0 <= location < (1 << 16)
+    b5 = (0 << 4) | (1 << 3) | (duration & 0x7)     # T=0, F=1 (single)
+    block_c = (((diversion & 1) << 15) | ((direction & 1) << 14)
+               | ((extent & 0x7) << 11) | (event & 0x7FF))
+    return make_group_oda(pi, pty, "8A", b5, block_c, location, tp=tp)
+
+
 def ymd_to_mjd(year: int, month: int, day: int) -> int:
     """Modified Julian Day from a calendar date (RDS standard annex G)."""
     l = 1 if month in (1, 2) else 0

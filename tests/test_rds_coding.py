@@ -496,3 +496,64 @@ def test_pty_standard_tables():
 
     with pytest.raises(ValueError):
         ApplicationLayer(standard="nrsc")
+
+
+def test_rtplus_tags_resolve_against_radiotext():
+    """RadioText+ (AID 0x4BD7 announced via 3A): tags are (start, length)
+    windows into the 2A radiotext, cleared when the item toggle flips."""
+    pi, pty = 0x54A7, 10
+    text = "Now playing: Daydream by Wallace Collection"
+    bits = []
+    # radiotext first (pad to 64 chars happens segment-wise)
+    padded = text.ljust(64)
+    for seg in range(16):
+        bits.extend(coding.make_group_2a(pi, pty, seg,
+                                         padded[4 * seg:4 * seg + 4]))
+    bits.extend(coding.make_group_3a(pi, pty, "12A", 0x4BD7))
+    # ITEM.TITLE = "Daydream" (start 13 len 7), ITEM.BAND = "Wallace
+    # Collection" (start 25, len 18)
+    bits.extend(coding.make_group_rtplus(pi, pty, "12A",
+                                         (1, 13, 7), (9, 25, 18),
+                                         toggle=1))
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(np.array(bits, np.int8)):
+        app.process(g)
+    assert app.info.oda_apps["12A"] == "RadioText+"
+    assert app.info.rtplus == {"ITEM.TITLE": "Daydream",
+                               "ITEM.BAND": "Wallace Collection"}
+    assert app.info.rtplus_running == 1
+
+    # a new item (toggle flip) invalidates the old tags
+    bits2 = coding.make_group_rtplus(pi, pty, "12A", (4, 0, 2), toggle=0)
+    for g in fs.push(np.array(bits2, np.int8)):
+        app.process(g)
+    assert "ITEM.BAND" not in app.info.rtplus
+    assert app.info.rtplus == {"ITEM.ARTIST": "Now"}
+
+
+def test_tmc_single_group_decode():
+    """RDS-TMC (AID 0xCD46 on 8A): single-group user messages decode to
+    event/location/extent; tuning groups only count."""
+    pi, pty = 0x54A7, 10
+    bits = list(coding.make_group_3a(pi, pty, "8A", 0xCD46))
+    bits.extend(coding.make_group_tmc_single(
+        pi, pty, event=101, location=12345, extent=2, direction=1,
+        diversion=1, duration=3))
+    bits.extend(coding.make_group_tmc_single(pi, pty, event=701,
+                                             location=777))
+    # a tuning/system group (T bit set) must not be parsed as a message
+    bits.extend(coding.make_group_oda(pi, pty, "8A", 0x10, 0, 0xABCD))
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(np.array(bits, np.int8)):
+        app.process(g)
+    assert app.info.oda_apps["8A"] == "RDS-TMC/Alert-C"
+    assert app.info.tmc_messages[0] == {
+        "event": 101, "location": 12345, "extent": 2, "direction": 1,
+        "diversion": 1, "duration": 3}
+    assert app.info.tmc_messages[1]["event"] == 701
+    assert app.info.tmc_other == 1
+    assert app.info.tmc_str[0] == ("stationary traffic at location 12345"
+                                   " extent -2 (diversion advised)")
+    assert app.info.tmc_str[1] == "roadworks at location 777"
