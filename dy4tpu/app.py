@@ -90,6 +90,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "on the decoded audio; 'off' (parity default) "
                         "matches the reference, which never de-emphasizes "
                         "(project.cpp:95-134)")
+    p.add_argument("--iqcorr", action="store_true",
+                   help="blind DC-offset + IQ-imbalance correction on "
+                        "the tuner stream (ops/iqcorr.py; default off = "
+                        "reference parity, which consumes the capture "
+                        "as-is)")
     p.add_argument("--rds-standard", choices=["rds", "rbds"],
                    default="rds",
                    help="PTY name table: 'rds' = European list, matching "
@@ -123,7 +128,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     stereo = path in ("stereo", "stereo_rds")
     params = receiver.make_params(cfg, with_rds=want_rds,
                                   audio_filter=args.audio_filter)
-    state = receiver.init_state(cfg, batch=(1,), with_rds=want_rds)
+    state = receiver.init_state(cfg, batch=(1,), with_rds=want_rds,
+                                with_iqcorr=args.iqcorr)
     block0 = 0
     decoder = RDSDecoder() if want_rds else None
     applayer = (ApplicationLayer(verbose=True, standard=args.rds_standard)
@@ -133,6 +139,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     if args.resume:
         state, resume_host, meta = ckpt.load(args.resume)
         block0 = int(meta.get("block", 0))
+        if args.iqcorr and getattr(state, "iqcorr", None) is None:
+            # checkpoint predates the tracker (or was taken without
+            # --iqcorr): start a fresh one rather than silently skipping
+            from dy4tpu.ops import iqcorr as iqcorr_ops
+            state = state._replace(
+                iqcorr=iqcorr_ops.init_iqcorr_state((1,)))
         if want_rds and "manchester" in resume_host:
             decoder.manchester = resume_host["manchester"]
             decoder.framer = resume_host["framer"]

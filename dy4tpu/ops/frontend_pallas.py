@@ -582,7 +582,7 @@ def _band_stages(fm, hb_ref, hc_ref, bank_hist_ref, fmdel_hist_ref,
 def _kernel_front_full(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref,
                        hb_ref, bank_hist_ref, fmdel_hist_ref, *args,
                        decim: int, n_out: int, w0: int, delay: int,
-                       rds: bool, mm_dtype):
+                       rds: bool, mm_dtype, corr: bool = False):
     """Whole LTI front half in one VMEM pass: raw u8 -> fm (as in
     ``_kernel_raw``) -> mono delay, pilot/stereo/RDS band bank,
     squaring + carrier BPF, RDS delay — the fm/squared streams never
@@ -595,6 +595,9 @@ def _kernel_front_full(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref,
     the stock path carries (bank_tail/mono_delay/carrier_tail/
     rds_delay), so the two paths stay state-interchangeable.
     """
+    corr_ref = None
+    if corr:
+        corr_ref, *args = args
     if rds:
         (hc_ref, sq_hist_ref, rds_hist_ref,
          fmd_ref, pilot_ref, stereo_ref, carrier_ref, rdsdel_ref,
@@ -629,6 +632,14 @@ def _kernel_front_full(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref,
     y = y.reshape(bc, j_tiles, 2 * _T)
     i_ds = y[:, :, :_T].reshape(bc, n_out) - sum_h
     q_ds = y[:, :, _T:].reshape(bc, n_out) - sum_h
+    if corr:
+        # blind DC/IQ-imbalance correction (ops/iqcorr.py) on the
+        # in-VMEM decimated streams: the 2x2 part commutes with the RF
+        # LPF; normalized-unit DC offsets scale by sum_h (= 128*sum(h),
+        # the same constant the +128 removal uses).  ~6 VPU ops/sample.
+        i_ds = i_ds - corr_ref[:, 0:1] * sum_h
+        q_ds = ((q_ds - corr_ref[:, 1:2] * sum_h
+                 - corr_ref[:, 2:3] * i_ds) * corr_ref[:, 3:4])
     fm = _demod_emit(i_ds, q_ds, prev_ref, last_ref, n_out)
 
     if not rds:
@@ -648,7 +659,8 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
                         prev_q: Array, bank_tail: Array,
                         mono_delay: Array, carrier_tail, rds_delay,
                         decim: int, *, rds: bool,
-                        mm_dtype=jnp.bfloat16, interpret: bool = False):
+                        mm_dtype=jnp.bfloat16, interpret: bool = False,
+                        corr=None):
     """One-kernel LTI front half (see ``_kernel_front_full``).
 
     Contract mirrors the stock ``front_step`` composition exactly
@@ -661,6 +673,12 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     ``(fm_delayed, pilot, stereo, carrier|None, rds_delayed|None,
     new_iq_tail, new_prev_i, new_prev_q, new_bank_tail, new_mono_delay,
     new_carrier_tail|None, new_rds_delay|None)``.
+
+    ``corr``: optional [C, 4] float32 per-channel IQ-correction rows
+    ``(dc_i, dc_q, rho, s)`` in receiver-normalized units
+    (ops/iqcorr.py), applied to the decimated I/Q in VMEM before the
+    demod — same math as the stock path's ``iqcorr.apply`` with
+    ``dc_scale=sum(h_rf)``.
     """
     c, bs = iq_u8.shape
     k = h_rf.shape[0]
@@ -696,21 +714,26 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
 
     ins = [sum_h.reshape(1, 1), iq_u8, tail_raw, prev, hr, hb,
            bank_hist, fmdel_hist]
+    per_channel = {1, 2, 3, 6, 7}
+    if corr is not None:
+        ins.append(corr.astype(jnp.float32))
+        per_channel.add(len(ins) - 1)
     if rds:
         hc = (h_carrier[None, bidx] * jnp.asarray(bmask)).astype(mm_dtype)
+        base = len(ins)
         ins += [hc, rpad(carrier_tail), rpad(rds_delay)]
+        per_channel |= {base + 1, base + 2}
 
     bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
     c_pad = -(-c // bc_rows) * bc_rows
     if c_pad != c:
         pc = c_pad - c
-        per_channel = {1, 2, 3, 6, 7} | ({9, 10} if rds else set())
         ins = [jnp.pad(a, ((0, pc),) + ((0, 0),) * (a.ndim - 1))
                if i in per_channel else a for i, a in enumerate(ins)]
 
     kern = functools.partial(_kernel_front_full, decim=decim,
                              n_out=n_out, w0=w0, delay=delay, rds=rds,
-                             mm_dtype=mm_dtype)
+                             mm_dtype=mm_dtype, corr=corr is not None)
     wlen = stride + w0
     row = lambda: pl.BlockSpec((bc_rows, n_out), lambda i: (i, 0))  # noqa: E731
     tile = lambda: pl.BlockSpec((bc_rows, _T), lambda i: (i, 0))  # noqa: E731
@@ -721,11 +744,13 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
                 pl.BlockSpec((bc_rows, bs), lambda i: (i, 0)),
                 pl.BlockSpec((bc_rows, w0), lambda i: (i, 0)),
                 tile(), full(hr), full(hb), tile(), tile()]
+    if corr is not None:
+        in_specs += [pl.BlockSpec((bc_rows, 4), lambda i: (i, 0))]
     out_specs = [row(), row(), row()]
     out_shape = [jax.ShapeDtypeStruct((c_pad, n_out), jnp.float32)
                  for _ in range(3)]
     if rds:
-        in_specs += [full(ins[8]), tile(), tile()]
+        in_specs += [full(hc), tile(), tile()]
         out_specs += [row(), row()]
         out_shape += [jax.ShapeDtypeStruct((c_pad, n_out), jnp.float32)
                       for _ in range(2)]

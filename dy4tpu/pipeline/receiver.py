@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from dy4tpu.config import ModeConfig
-from dy4tpu.ops import demod, fir, firdes, mix, pll
+from dy4tpu.ops import demod, fir, firdes, iqcorr, mix, pll
 
 Array = jax.Array
 
@@ -84,6 +84,10 @@ class ReceiverState(NamedTuple):
     rf: RFState
     audio: AudioState
     rds: Optional[RDSState]
+    iqcorr: Optional[iqcorr.IQCorrState] = None
+    #   opt-in blind DC/IQ-imbalance tracker (ops/iqcorr.py).  Cross-
+    #   block feedback like the AFC loop: incompatible with the exact
+    #   time-sharded replay (parallel/sharded.py rejects it).
 
 
 class StepOutputs(NamedTuple):
@@ -191,7 +195,9 @@ def fused_phase_frontend_ok(cfg: ModeConfig) -> bool:
 def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                cfg: ModeConfig, *, precision=jax.lax.Precision.HIGHEST,
                rds_enabled: bool = True, frontend: str = "auto",
-               demod_kind: str = "diff") -> tuple[FrontState, FrontOut]:
+               demod_kind: str = "diff",
+               corr: Optional[iqcorr.IQCorrCoeffs] = None
+               ) -> tuple[FrontState, FrontOut]:
     """RF front end + band bank + RDS carrier recovery filters — the LTI
     half of the receiver (project.cpp:72-93 + fmMonoBlock.py:673-680).
 
@@ -242,6 +248,12 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
         raise ValueError("frontend='fused-phase' needs phase-aligned "
                          f"taps ((taps-1) % decim == 0; taps="
                          f"{cfg.num_taps}, decim={cfg.rf_decim})")
+    if corr is not None and frontend in ("fused-rf", "fused-phase"):
+        # the A/B experimental kernels stop at the fm stream and expose
+        # no pre-demod I/Q point; only stock + the serving 'fused' path
+        # carry the correction epilogue
+        raise ValueError(f"IQ correction unsupported with frontend="
+                         f"{frontend!r}; use 'fused' or 'stock'")
 
     if frontend == "fused":
         # whole LTI front half in ONE Pallas pass: raw u8 -> fm -> mono
@@ -255,6 +267,11 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                           a.reshape((-1,) + a.shape[len(batch):]))
         unflat = lambda a: (None if a is None else  # noqa: E731
                             a.reshape(batch + a.shape[1:]))
+        corr_arr = (None if corr is None else
+                    jnp.stack([corr.dc_i.reshape(-1),
+                               corr.dc_q.reshape(-1),
+                               corr.rho.reshape(-1),
+                               corr.s.reshape(-1)], axis=-1))
         (fmd, pilot, stereo, carrier, rds_delayed, iq_tail, prev_i,
          prev_q, bank_tail, mono_delay, carrier_tail, rds_delay) = (
             frontend_pallas.fused_frontend_full(
@@ -264,7 +281,7 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                 flat(fstate.rf.prev_q), flat(fstate.bank_tail),
                 flat(fstate.mono_delay), flat(fstate.carrier_tail),
                 flat(fstate.rds_delay), cfg.rf_decim,
-                rds=rds_enabled, mm_dtype=mm))
+                rds=rds_enabled, mm_dtype=mm, corr=corr_arr))
         return (FrontState(
                     rf=RFState(iq_tail=unflat(iq_tail),
                                prev_i=prev_i.reshape(batch),
@@ -306,6 +323,11 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                                              cfg.rf_decim,
                                              precision=precision)
         i_ds, q_ds = iq_ds[..., 0, :], iq_ds[..., 1, :]
+        if corr is not None:
+            # the 2x2 part commutes with the per-component RF LPF; only
+            # the DC offsets pick up the filter's DC gain (iqcorr.apply)
+            i_ds, q_ds = iqcorr.apply(i_ds, q_ds, corr,
+                                      dc_scale=jnp.sum(params.rf_coeff))
         if demod_kind == "arctan":
             # prev_i slot carries the previous block's phase (init 0
             # matches the model's state_phase=0, fmMonoBlock.py:594)
@@ -619,7 +641,8 @@ def make_params(cfg: ModeConfig, with_rds: Optional[bool] = None,
 
 def init_state(cfg: ModeConfig, batch: tuple[int, ...] = (),
                dtype=jnp.float32,
-               with_rds: Optional[bool] = None) -> ReceiverState:
+               with_rds: Optional[bool] = None,
+               with_iqcorr: bool = False) -> ReceiverState:
     t = cfg.num_taps
     z = lambda *s: jnp.zeros((*batch, *s), dtype)  # noqa: E731
     rds_on = _rds_on(cfg, with_rds)
@@ -645,7 +668,10 @@ def init_state(cfg: ModeConfig, batch: tuple[int, ...] = (),
             cdr=CDRState(offset=jnp.zeros(batch, jnp.int32),
                          found=jnp.zeros(batch, bool)),
         )
-    return ReceiverState(rf=rf, audio=audio, rds=rds)
+    return ReceiverState(
+        rf=rf, audio=audio, rds=rds,
+        iqcorr=iqcorr.init_iqcorr_state(batch, dtype)
+        if with_iqcorr else None)
 
 
 def _cdr(bb_i: Array, bb_q: Array, state: CDRState, sps: int
@@ -710,14 +736,25 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
     uses separately: ``front_step`` (LTI), the stacked PLL scan, and
     ``back_step`` (NCO-mixed LTI) + CDR.  Every individual op sees the
     same inputs as before the split, so outputs are bit-identical.
+
+    When the state carries an ``iqcorr`` tracker (init_state
+    ``with_iqcorr=True``), each block is corrected with the coefficients
+    accumulated over PREVIOUS blocks (strictly causal; block 0 is
+    identity) and its leading raw samples are folded into the tracker.
     """
     rds_enabled = _rds_on(cfg, with_rds) and state.rds is not None
 
+    corr = new_iqcorr = None
+    if state.iqcorr is not None:
+        corr = iqcorr.coeffs(state.iqcorr)
+        new_iqcorr = iqcorr.estimate_u8(iq_u8, state.iqcorr)
+
     fstate, fo = front_step(params, front_state_of(state), iq_u8, cfg,
                             precision=precision, rds_enabled=rds_enabled,
-                            frontend=frontend, demod_kind=demod_kind)
+                            frontend=frontend, demod_kind=demod_kind,
+                            corr=corr)
     return _finish_step(params, state, fstate, fo, cfg, precision,
-                        rds_enabled, backend)
+                        rds_enabled, backend, new_iqcorr=new_iqcorr)
 
 
 def receiver_step_if(params: ReceiverParams, state: ReceiverState,
@@ -729,19 +766,32 @@ def receiver_step_if(params: ReceiverParams, state: ReceiverState,
     """Process one block of IF-rate complex baseband (I/Q at
     ``cfg.if_fs``), e.g. one channel of ``ops/channelizer.py``'s DFT
     filter bank.  Identical to ``receiver_step`` from the FM demod
-    onward; the RF LPF+decimate stage is the channelizer's job."""
+    onward; the RF LPF+decimate stage is the channelizer's job.
+
+    An ``iqcorr`` tracker in the state estimates from (and corrects)
+    the IF stream itself — valid for a direct IF capture; imbalance of
+    a WIDEBAND tuner must instead be corrected before channelization
+    (the image lands in the mirrored channel, out of per-channel
+    reach)."""
     rds_enabled = _rds_on(cfg, with_rds) and state.rds is not None
+
+    new_iqcorr = None
+    if state.iqcorr is not None:
+        c = iqcorr.coeffs(state.iqcorr)
+        new_iqcorr = iqcorr.estimate(i_if, q_if, state.iqcorr)
+        i_if, q_if = iqcorr.apply(i_if, q_if, c)
+
     fstate, fo = front_step_if(params, front_state_of(state), i_if, q_if,
                                cfg, precision=precision,
                                rds_enabled=rds_enabled, frontend=frontend)
     return _finish_step(params, state, fstate, fo, cfg, precision,
-                        rds_enabled, backend)
+                        rds_enabled, backend, new_iqcorr=new_iqcorr)
 
 
 def _finish_step(params: ReceiverParams, state: ReceiverState,
                  fstate: FrontState, fo: FrontOut, cfg: ModeConfig,
-                 precision, rds_enabled: bool, backend: str
-                 ) -> tuple[ReceiverState, StepOutputs]:
+                 precision, rds_enabled: bool, backend: str,
+                 new_iqcorr=None) -> tuple[ReceiverState, StepOutputs]:
     # ---- stereo + RDS PLLs (project.cpp:118-133; fmMonoBlock.py:683) ----
     if rds_enabled:
         # stack the pilot (19 kHz, x2, bw .01) and RDS carrier (114 kHz,
@@ -810,7 +860,8 @@ def _finish_step(params: ReceiverParams, state: ReceiverState,
                           rds_symbols=rds_out[2], rds_sym_i=rds_out[3],
                           rds_resync=rds_out[4], rds_offset=rds_out[5],
                           pilot_snr_db=pilot_snr_db)
-    return ReceiverState(rf=fstate.rf, audio=new_audio, rds=new_rds), outputs
+    return (ReceiverState(rf=fstate.rf, audio=new_audio, rds=new_rds,
+                          iqcorr=new_iqcorr), outputs)
 
 
 @functools.partial(jax.jit,

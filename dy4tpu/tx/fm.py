@@ -89,11 +89,23 @@ def synthesize(cfg: ModeConfig, n_blocks: int, *,
                a_mono: float = 0.45, a_pilot: float = 0.10,
                a_stereo: float = 0.45, a_rds: float = 0.06,
                kf: float = 75e3, noise: float = 0.0,
-               seed: int = 0) -> np.ndarray:
+               seed: int = 0, dc_i: float = 0.0, dc_q: float = 0.0,
+               iq_gain: float = 1.0, iq_phase_deg: float = 0.0,
+               multipath=None) -> np.ndarray:
     """Generate ``n_blocks`` blocks of interleaved u8 IQ for a mode.
 
     ``left``/``right``: audio at cfg.audio_fs (zero-padded/truncated to
     fit); None -> silence.  Returns uint8 [n_blocks * block_size].
+
+    ``dc_i``/``dc_q``/``iq_gain``/``iq_phase_deg`` inject the tuner
+    impairment model of ``ops/iqcorr.py`` (LO-leakage DC offsets in
+    signal units, Q-branch gain and quadrature-phase error) AFTER the
+    channel noise — both ride the same analog front end.
+
+    ``multipath``: static echo profile ``[(delay_samples, gain), ...]``
+    (complex gains; RF-rate delays) applied to the complex RF stream
+    BEFORE noise/tuner faults: ``y[n] = x[n] + sum_k g_k x[n-d_k]`` —
+    the urban FM reception case the reference validates only by ear.
     """
     m = multiplex(cfg, n_blocks, left=left, right=right,
                   rds_bits=rds_bits, a_mono=a_mono, a_pilot=a_pilot,
@@ -104,12 +116,23 @@ def synthesize(cfg: ModeConfig, n_blocks: int, *,
     n_rf = n_blocks * cfg.iq_per_block
     m_rf = np.pad(m_rf[:n_rf], (0, max(0, n_rf - len(m_rf))))
     phase = 2 * np.pi * kf / cfg.rf_fs * np.cumsum(m_rf)
-    i = np.cos(phase)
-    q = np.sin(phase)
+    x = np.exp(1j * phase)
+    if multipath:
+        y = x.copy()
+        for d, g in multipath:
+            d = int(d)
+            assert 0 < d < n_rf, d
+            y[d:] += complex(g) * x[:-d]
+        x = y
+    i, q = x.real, x.imag
     if noise > 0:
         rng = np.random.default_rng(seed)
         i = i + noise * rng.standard_normal(n_rf)
         q = q + noise * rng.standard_normal(n_rf)
+    if (dc_i, dc_q, iq_gain, iq_phase_deg) != (0.0, 0.0, 1.0, 0.0):
+        from dy4tpu.ops import iqcorr
+        i, q = iqcorr.impair(i, q, dc_i=dc_i, dc_q=dc_q, gain=iq_gain,
+                             phase_deg=iq_phase_deg)
 
     iq = np.empty(2 * n_rf, np.float64)
     iq[0::2], iq[1::2] = i, q
