@@ -145,7 +145,11 @@ def bench_chain() -> None:
     precision = _precision()
 
     params = receiver.make_params(cfg)
-    state = receiver.init_state(cfg, batch=(channels,))
+    # BENCH_IQCORR=1: A/B the blind DC/IQ-imbalance tracker's cost
+    # (estimator side pass + in-kernel correction epilogue)
+    state = receiver.init_state(
+        cfg, batch=(channels,),
+        with_iqcorr=os.environ.get("BENCH_IQCORR", "0") == "1")
     iq = _broadcast_blocks(cfg, n_blocks, channels)
 
     @jax.jit

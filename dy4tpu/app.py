@@ -95,6 +95,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the tuner stream (ops/iqcorr.py; default off = "
                         "reference parity, which consumes the capture "
                         "as-is)")
+    p.add_argument("--rds-json", default=None, metavar="FILE",
+                   help="write one JSON-lines event per decoded RDS "
+                        "group to FILE ('-' = stderr): the accumulated "
+                        "station snapshot (StationInfo.to_dict) plus "
+                        "the carrying group type — the machine-readable "
+                        "twin of the stderr console")
     p.add_argument("--rds-standard", choices=["rds", "rbds"],
                    default="rds",
                    help="PTY name table: 'rds' = European list, matching "
@@ -165,8 +171,23 @@ def main(argv: Optional[list[str]] = None) -> int:
         ckpt.save(args.checkpoint, state, host_state=host,
                   meta={"block": block, "mode": args.mode, "path": path})
 
+    rds_json = None
     if applayer is not None:
-        decoder.on_group = applayer.process
+        if args.rds_json:
+            import json as _json
+            rds_json = (sys.stderr if args.rds_json == "-"
+                        else open(args.rds_json, "w"))
+
+            def _on_group(group):
+                info = applayer.process(group)
+                evt = {"group": f"{info.group_type}{info.version}",
+                       "bit_position": group.bit_position,
+                       **info.to_dict()}
+                print(_json.dumps(evt), file=rds_json, flush=True)
+
+            decoder.on_group = _on_group
+        else:
+            decoder.on_group = applayer.process
 
     fin = open(args.input, "rb") if args.input else None
     fout = open(args.output, "wb") if args.output else None
@@ -350,6 +371,9 @@ def main(argv: Optional[list[str]] = None) -> int:
             dio.write_wav(args.wav, audio, cfg.audio_fs)
         if fout:
             fout.close()
+
+    if rds_json is not None and rds_json is not sys.stderr:
+        rds_json.close()
 
     dt = time.perf_counter() - t0
     iq = n_done * cfg.iq_per_block

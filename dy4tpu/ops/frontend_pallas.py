@@ -595,17 +595,23 @@ def _kernel_front_full(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref,
     the stock path carries (bank_tail/mono_delay/carrier_tail/
     rds_delay), so the two paths stay state-interchangeable.
     """
-    corr_ref = None
+    corr_ref = mom_ref = None
     if corr:
         corr_ref, *args = args
     if rds:
         (hc_ref, sq_hist_ref, rds_hist_ref,
          fmd_ref, pilot_ref, stereo_ref, carrier_ref, rdsdel_ref,
          last_ref, fm_last_ref, sq_last_ref, rds_last_ref,
-         ext_s, pg_s, bext_s, pgb_s, fmd_s, sqe_s, rdse_s) = args
+         *rest) = args
     else:
         (fmd_ref, pilot_ref, stereo_ref, last_ref, fm_last_ref,
-         ext_s, pg_s, bext_s, pgb_s, fmd_s) = args
+         *rest) = args
+    if corr:
+        mom_ref, *rest = rest
+    if rds:
+        (ext_s, pg_s, bext_s, pgb_s, fmd_s, sqe_s, rdse_s) = rest
+    else:
+        (ext_s, pg_s, bext_s, pgb_s, fmd_s) = rest
 
     bc = fmd_ref.shape[0]
     stride = 2 * _T * decim
@@ -633,12 +639,31 @@ def _kernel_front_full(sumh_ref, x_ref, tail_ref, prev_ref, hr_ref,
     i_ds = y[:, :, :_T].reshape(bc, n_out) - sum_h
     q_ds = y[:, :, _T:].reshape(bc, n_out) - sum_h
     if corr:
-        # blind DC/IQ-imbalance correction (ops/iqcorr.py) on the
-        # in-VMEM decimated streams: the 2x2 part commutes with the RF
-        # LPF; normalized-unit DC offsets scale by sum_h (= 128*sum(h),
-        # the same constant the +128 removal uses).  ~6 VPU ops/sample.
-        i_ds = i_ds - corr_ref[:, 0:1] * sum_h
-        q_ds = ((q_ds - corr_ref[:, 1:2] * sum_h
+        # ---- IQ tracker tap (ops/iqcorr.py), all on the in-VMEM
+        # decimated streams — which are ALREADY in the stock path's
+        # i_ds units (the u8 (x-128)/128 normalize is folded into the
+        # banded matrix and the sum_h epilogue above).  (1) emit the
+        # PRE-correction conic-fit moments at IF rate: a raw-rate side
+        # pass for these measured -28% of the whole chain, here it is
+        # VPU-only on data already resident.  (2) apply the
+        # correction: the 2x2 part commutes with the RF LPF, the DC
+        # shares the estimation units — no rescale anywhere.
+        im, qm = i_ds, q_ds
+        i2, q2 = im * im, qm * qm
+        i3, q3 = i2 * im, q2 * qm
+        mean = lambda v: jnp.mean(v, axis=-1)  # noqa: E731
+        moms = [mean(i2 * i2), mean(i3 * qm), mean(i2 * q2),
+                mean(im * q3), mean(q2 * q2),
+                mean(i3), mean(i2 * qm), mean(im * q2), mean(q3),
+                mean(i2), mean(im * qm), mean(q2), mean(im), mean(qm)]
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (bc, 128), 1)
+        acc = jnp.zeros((bc, 128), jnp.float32)
+        for k, v in enumerate(moms):
+            acc = acc + jnp.where(lane128 == k, v[:, None], 0.0)
+        mom_ref[:] = acc
+
+        i_ds = i_ds - corr_ref[:, 0:1]
+        q_ds = ((q_ds - corr_ref[:, 1:2]
                  - corr_ref[:, 2:3] * i_ds) * corr_ref[:, 3:4])
     fm = _demod_emit(i_ds, q_ds, prev_ref, last_ref, n_out)
 
@@ -675,10 +700,12 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     new_carrier_tail|None, new_rds_delay|None)``.
 
     ``corr``: optional [C, 4] float32 per-channel IQ-correction rows
-    ``(dc_i, dc_q, rho, s)`` in receiver-normalized units
-    (ops/iqcorr.py), applied to the decimated I/Q in VMEM before the
-    demod — same math as the stock path's ``iqcorr.apply`` with
-    ``dc_scale=sum(h_rf)``.
+    ``(dc_i, dc_q, rho, s)`` in the STOCK path's decimated-stream
+    units (ops/iqcorr.py), applied to the decimated I/Q in VMEM
+    before the demod; the kernel also emits the pre-correction
+    conic-fit moments, appending ``mom [C, 14]`` to the return tuple
+    (``None`` when ``corr`` is None) — see ``iqcorr.moments`` for why
+    the moments must not be computed at raw rate.
     """
     c, bs = iq_u8.shape
     k = h_rf.shape[0]
@@ -759,6 +786,9 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     if rds:
         out_specs += [tile(), tile()]
         out_shape += [jax.ShapeDtypeStruct((c_pad, _T), jnp.float32)] * 2
+    if corr is not None:
+        out_specs += [tile()]         # mom: 14 moments in 128 lanes
+        out_shape += [jax.ShapeDtypeStruct((c_pad, _T), jnp.float32)]
 
     scratch = [pltpu.VMEM((bc_rows, w0 + bs), mm_dtype),
                pltpu.VMEM((bc_rows, n_out // _T, wlen), mm_dtype),
@@ -783,6 +813,10 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
         interpret=interpret)(*ins)
 
     outs = [o[:c] for o in outs]
+    mom = None
+    if corr is not None:
+        mom = outs[-1][:, :14]
+        outs = outs[:-1]
     if rds:
         (fmd, pilot, stereo, carrier, rdsdel,
          last, fm_last, sq_last, rds_last) = outs
@@ -797,7 +831,7 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
     new_rdsdel = None if rds_last is None else rds_last[:, _T - delay:]
     return (fmd, pilot, stereo, carrier, rdsdel, new_tail,
             last[:, 0], last[:, 1], new_bank, new_mono, new_carrier,
-            new_rdsdel)
+            new_rdsdel, mom)
 
 
 def _kernel_front_if(x_i_ref, x_q_ref, prev_ref, hb_ref, bank_hist_ref,

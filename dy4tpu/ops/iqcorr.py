@@ -14,31 +14,46 @@ which images a tone at +f onto -f with rejection
 channel the image lands on the signal itself, so imbalance reads as a
 demod noise floor (and the DC spur as discriminator distortion).
 
-Estimation is moment-based (blind Gram-Schmidt): over the impairment
-model with ideal I/Q zero-mean, equal-power and uncorrelated — true
-for an FM multiplex, whose phase sweeps many cycles per block —
+Estimator: a streaming least-squares ELLIPSE FIT.  An FM carrier has
+constant modulus, so its clean samples lie on a circle; the impairment
+is the affine map ``p = p0 + W u`` (W lower-triangular), which turns
+that circle into an ellipse whose CENTER is the DC offset and whose
+SHAPE is exactly the imbalance:
 
-    E[i] = d_i              E[q] = d_q
-    Cii  = P                Ciq  = g*P*sin(phi)      Cqq = g^2*P
+    (p - p0)^T (W W^T)^{-1} (p - p0) = A^2,
+    W = [[1, 0], [g sin(phi), g cos(phi)]]
 
-so the centered Gram-Schmidt step recovers the exact inverse:
+Fitting the conic ``a x^2 + b xy + c y^2 + d x + e y = 1`` by least
+squares (a 5x5 normal-equation solve over streaming moments up to
+order 4) and reading
 
-    i_c = i_obs - d_i
-    q_c = (q_obs - d_q - rho*i_c) * s,   rho = Ciq/Cii,
-                                         s = sqrt(Cii/(Cqq - rho*Ciq))
+    center:  [[2a, b], [b, 2c]] @ p0 = [-d, -e]
+    rho = -b / (2c)             (= g sin(phi))
+    s   = 1 / sqrt(a/c - rho^2) (= 1 / (g cos(phi)))
 
-(= exactly ``q`` under the model: the rho-projection removes the
-sin(phi) leakage and s restores Q's power to I's).  Out-of-band noise
-passes through the same impairment, so estimating from the RAW stream
-(before channel filtering) is equally consistent and needs no extra
-signal path.
+recovers the exact inverse as ``i_c = i - dc_i;
+q_c = (q - dc_q - rho*i_c) * s``.
+
+WHY an ellipse fit and not second-order blind moments (Gram-Schmidt on
+E[i q]/E[i^2] etc.): the moment route assumes the clean signal is
+zero-mean/proper, but a real FM waveform has a residual carrier LINE
+(the Bessel J0 component) sitting exactly at DC on a zero-IF tuner —
+measured on the synthesized broadcast it reads as a fake dc=-0.04 /
+rho=0.096 "impairment" whose "correction" COSTS 6 dB of stereo
+separation on a perfectly clean capture.  The ellipse fit uses the
+constant-modulus structure instead of ensemble statistics, so
+deterministic content cannot bias it: clean circle in, identity out.
+Channel noise scatters points AROUND the ellipse (a benign
+toward-circular bias); multipath thickens it into an annulus whose
+symmetric fit again degrades toward the identity, not away from it.
 
 Moments are EMA-accumulated across blocks in one static-shaped
-``IQCorrState`` pytree (jit/scan-safe).  NOTE: like the AFC loop
-(``ops/afc.py``), the EMA is cross-block feedback — the exact
-time-sharded receiver (``parallel/sharded.py``) cannot replay it from
-a bounded halo, so correction is rejected there (PARITY.md
-"Deliberate deviations").
+``IQCorrState`` pytree (jit/scan-safe); the EMA's warm-up scale
+cancels in the normal-equation solve, so no debiasing is needed.
+NOTE: like the AFC loop (``ops/afc.py``), the EMA is cross-block
+feedback — the exact time-sharded receiver (``parallel/sharded.py``)
+cannot replay it from a bounded halo, so correction is never enabled
+there (PARITY.md "Deliberate deviations").
 """
 
 from __future__ import annotations
@@ -51,17 +66,19 @@ import numpy as np
 
 Array = jax.Array
 
+# moment index layout of IQCorrState.m: E[i^p * q^r] at _POWERS[k]
+_POWERS = ((4, 0), (3, 1), (2, 2), (1, 3), (0, 4),
+           (3, 0), (2, 1), (1, 2), (0, 3),
+           (2, 0), (1, 1), (0, 2), (1, 0), (0, 1))
+_IDX = {pq: k for k, pq in enumerate(_POWERS)}
+
 
 class IQCorrState(NamedTuple):
-    """EMA'd raw moments of the observed stream (batch-shaped), plus a
-    block count for warm-up debiasing.  Moments are UN-debiased EMA
-    accumulators (start at 0); ``coeffs`` divides by ``1-(1-a)^count``."""
-    mean_i: Array
-    mean_q: Array
-    m_ii: Array    # E[i^2] (raw, not centered)
-    m_qq: Array
-    m_iq: Array
-    count: Array   # int32 blocks folded in
+    """EMA'd raw moments E[i^p q^r] (order <= 4) of the observed
+    stream, batch-shaped with a trailing [14] moment axis, plus a
+    block count (gates the cold-start identity)."""
+    m: Array       # [..., 14] float32
+    count: Array   # [...] int32 blocks folded in
 
 
 class IQCorrCoeffs(NamedTuple):
@@ -78,69 +95,130 @@ class IQCorrCoeffs(NamedTuple):
 
 def init_iqcorr_state(batch: tuple[int, ...] = (),
                       dtype=jnp.float32) -> IQCorrState:
-    z = jnp.zeros(batch, dtype)
-    return IQCorrState(mean_i=z, mean_q=z, m_ii=z, m_qq=z, m_iq=z,
+    return IQCorrState(m=jnp.zeros((*batch, len(_POWERS)), dtype),
                        count=jnp.zeros(batch, jnp.int32))
+
+
+def moments(i: Array, q: Array) -> Array:
+    """The 14 conic-fit moments E[i^p q^r] of one block ([..., N] ->
+    [..., 14], ``_POWERS`` order).  WHERE this runs matters for cost:
+    at RAW RF rate the ~9 fourth-order temporaries measured -28% of
+    the whole chain (HBM round trips); the production paths compute it
+    at IF rate — the fused front kernel emits it from its in-VMEM
+    decimated streams (ops/frontend_pallas.py, pre-correction), the
+    stock path from ``i_ds``/``q_ds`` — where it is ~free.  The RF
+    LPF's passband gain is 1, so estimating after it only sheds
+    out-of-band noise; its slight constant-modulus ripple (Carson
+    bandwidth vs the 100 kHz cutoff) stays under the coeffs deadband."""
+    i = i.astype(jnp.float32)
+    q = q.astype(jnp.float32)
+    return jnp.stack(
+        [jnp.mean(i ** p * q ** r if r else i ** p, axis=-1)
+         if p else jnp.mean(q ** r, axis=-1)
+         for p, r in _POWERS], axis=-1)
+
+
+def fold(state: IQCorrState, mom: Array, *,
+         alpha: float = 0.2) -> IQCorrState:
+    """EMA one block's moments ([..., 14]) into the tracker state."""
+    a = jnp.float32(alpha)
+    return IQCorrState(m=state.m * (1.0 - a) + a * mom,
+                       count=state.count + 1)
 
 
 def estimate(i: Array, q: Array, state: IQCorrState, *,
              alpha: float = 0.2) -> IQCorrState:
-    """Fold one block of observed I/Q ([..., N]) into the EMA moments."""
-    a = jnp.float32(alpha)
-    ema = lambda m, x: m * (1.0 - a) + a * x  # noqa: E731
-    return IQCorrState(
-        mean_i=ema(state.mean_i, jnp.mean(i, axis=-1)),
-        mean_q=ema(state.mean_q, jnp.mean(q, axis=-1)),
-        m_ii=ema(state.m_ii, jnp.mean(i * i, axis=-1)),
-        m_qq=ema(state.m_qq, jnp.mean(q * q, axis=-1)),
-        m_iq=ema(state.m_iq, jnp.mean(i * q, axis=-1)),
-        count=state.count + 1)
+    """Fold one block of observed I/Q ([..., N]) into the moments."""
+    return fold(state, moments(i, q), alpha=alpha)
 
 
-def estimate_u8(iq_u8: Array, state: IQCorrState, *,
-                alpha: float = 0.2, frac: int = 8) -> IQCorrState:
-    """Fold a raw interleaved-u8 block ([..., 2N], I even / Q odd —
-    iofunc.cpp:113-120) into the moments, in receiver-normalized units
-    ((x - 128)/128).  ``frac``: estimate from the leading ``1/frac`` of
-    the block — a contiguous slice, so the extra HBM traffic of this
-    side pass is bounded at ~1/frac of one raw-block read (moments over
-    ~100k samples are already tight; the EMA smooths the rest)."""
-    n = iq_u8.shape[-1] // 2
-    m = max(1, n // frac)
-    x = (iq_u8[..., : 2 * m].astype(jnp.float32) - 128.0) / 128.0
-    pairs = x.reshape(*x.shape[:-1], m, 2)
-    return estimate(pairs[..., 0], pairs[..., 1], state, alpha=alpha)
-
-
-def coeffs(state: IQCorrState, *, min_power: float = 1e-6
+def coeffs(state: IQCorrState, *, min_power: float = 1e-6,
+           deadband_dc: float = 0.005, deadband: float = 0.02
            ) -> IQCorrCoeffs:
-    """Correction coefficients from the accumulated moments.
+    """Correction coefficients from the accumulated moments: solve the
+    conic normal equations (batched 5x5), then read center and shape.
 
     Identity (dc=0, rho=0, s=1) until at least one block has been
-    folded in or while the stream is too weak to trust (``Cii`` below
-    ``min_power`` — e.g. a squelched channel), so ``apply`` is always
-    safe to call unconditionally."""
-    # debias the EMA warm-up: an EMA seeded at 0 after n blocks has
-    # weight 1-(1-a)^n on the data; dividing restores an unbiased mean.
-    # alpha here must only match `estimate`'s for exact debiasing — the
-    # steady state is alpha-independent — so it is fixed at the default.
-    w = 1.0 - jnp.power(jnp.float32(0.8), state.count.astype(jnp.float32))
-    w = jnp.maximum(w, jnp.float32(1e-12))
-    mi, mq = state.mean_i / w, state.mean_q / w
-    cii = state.m_ii / w - mi * mi
-    cqq = state.m_qq / w - mq * mq
-    ciq = state.m_iq / w - mi * mq
+    folded in, while the stream is too weak to trust (power below
+    ``min_power`` — e.g. a squelched channel), or when the fit is
+    degenerate (non-finite / non-elliptic solve), so ``apply`` is
+    always safe to call unconditionally.
 
-    ok = (state.count > 0) & (cii > min_power)
-    safe_cii = jnp.where(ok, cii, 1.0)
-    rho = jnp.where(ok, ciq / safe_cii, 0.0)
-    resid = cqq - rho * ciq
-    s = jnp.where(ok & (resid > min_power * 1e-3),
-                  jnp.sqrt(safe_cii / jnp.maximum(resid, 1e-30)), 1.0)
+    Deadbands: each component below its threshold snaps to the exact
+    identity, making the tracker-on decode of a HEALTHY tuner
+    bit-identical to tracker-off once warm.  The fit still carries
+    quantization/noise scatter; real faults (>= ~0.2 dB gain skew,
+    >= ~1.2 deg quadrature, >= ~0.6 u8-LSB DC) sit far above the
+    thresholds.  ``deadband*=0`` disables."""
+    m = state.m
+    g = lambda p, r: m[..., _IDX[(p, r)]]  # noqa: E731
+
+    # normal equations for v = (x^2, xy, y^2, x, y), target 1:
+    # (E[v v^T]) beta = E[v] — the EMA warm-up scale cancels here.
+    # E[v v^T] is a Gram matrix (symmetric positive definite whenever
+    # the data spans), so solve by an UNROLLED 5x5 Cholesky: pure
+    # batched elementwise ops.  (jnp.linalg.solve's pivoted LU inside
+    # the receiver scan blew the TPU compile past 10 minutes.)
+    rows = [
+        [g(4, 0), g(3, 1), g(2, 2), g(3, 0), g(2, 1)],
+        [g(3, 1), g(2, 2), g(1, 3), g(2, 1), g(1, 2)],
+        [g(2, 2), g(1, 3), g(0, 4), g(1, 2), g(0, 3)],
+        [g(3, 0), g(2, 1), g(1, 2), g(2, 0), g(1, 1)],
+        [g(2, 1), g(1, 2), g(0, 3), g(1, 1), g(0, 2)],
+    ]
+    h = [g(2, 0), g(1, 1), g(0, 2), g(1, 0), g(0, 1)]
+
+    power = g(2, 0) - g(1, 0) ** 2
+    ok = (state.count > 0) & (power > min_power)
+
+    L = [[None] * 5 for _ in range(5)]
+    for i in range(5):
+        for j in range(i + 1):
+            v = rows[i][j]
+            for k in range(j):
+                v = v - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(v, 1e-20))
+            else:
+                L[i][j] = v / L[j][j]
+    y = [None] * 5
+    for i in range(5):
+        v = h[i]
+        for k in range(i):
+            v = v - L[i][k] * y[k]
+        y[i] = v / L[i][i]
+    beta = [None] * 5
+    for i in reversed(range(5)):
+        v = y[i]
+        for k in range(i + 1, 5):
+            v = v - L[k][i] * beta[k]
+        beta[i] = v / L[i][i]
+    a, b, c, d, e = beta
+
+    # center: [[2a, b], [b, 2c]] p0 = [-d, -e]
+    det2 = 4.0 * a * c - b * b
+    safe = jnp.where(jnp.abs(det2) > 1e-20, det2, 1.0)
+    x0 = (-2.0 * c * d + b * e) / safe
+    y0 = (-2.0 * a * e + b * d) / safe
+    rho = -b / (2.0 * jnp.where(jnp.abs(c) > 1e-20, c, 1.0))
+    w22sq = a / jnp.where(jnp.abs(c) > 1e-20, c, 1.0) - rho * rho
+    s = 1.0 / jnp.sqrt(jnp.maximum(w22sq, 1e-12))
+
+    # the fit is trustworthy only when it is actually an ellipse
+    # (a, c > 0, positive-definite quadratic) and everything is finite
+    fin = (jnp.isfinite(x0) & jnp.isfinite(y0) & jnp.isfinite(rho)
+           & jnp.isfinite(s))
+    ok = ok & fin & (a > 0.0) & (c > 0.0) & (det2 > 0.0) & (w22sq > 1e-6)
+
     zero = jnp.zeros_like(rho)
-    return IQCorrCoeffs(dc_i=jnp.where(ok, mi, zero),
-                        dc_q=jnp.where(ok, mq, zero),
-                        rho=rho, s=s)
+    one = jnp.ones_like(rho)
+    gate = lambda v, off, t: jnp.where(          # noqa: E731
+        jnp.abs(v - off) > t, v, jnp.full_like(v, off))
+    return IQCorrCoeffs(
+        dc_i=gate(jnp.where(ok, x0, zero), 0.0, deadband_dc),
+        dc_q=gate(jnp.where(ok, y0, zero), 0.0, deadband_dc),
+        rho=gate(jnp.where(ok, rho, zero), 0.0, deadband),
+        s=gate(jnp.where(ok, s, one), 1.0, deadband))
 
 
 def apply(i: Array, q: Array, c: IQCorrCoeffs, *,

@@ -196,8 +196,8 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                cfg: ModeConfig, *, precision=jax.lax.Precision.HIGHEST,
                rds_enabled: bool = True, frontend: str = "auto",
                demod_kind: str = "diff",
-               corr: Optional[iqcorr.IQCorrCoeffs] = None
-               ) -> tuple[FrontState, FrontOut]:
+               corr: Optional[iqcorr.IQCorrCoeffs] = None,
+               corr_moments: bool = False):
     """RF front end + band bank + RDS carrier recovery filters — the LTI
     half of the receiver (project.cpp:72-93 + fmMonoBlock.py:673-680).
 
@@ -209,6 +209,14 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
     (raw u8->fm kernel only, XLA for the rest — A/B), "fused-phase"
     (the earlier phase-pre-split kernel — A/B), or "auto" (fused on TPU
     when the mode geometry fits).
+
+    ``corr``/``corr_moments``: opt-in IQ correction (ops/iqcorr.py) —
+    ``corr`` applies the given coefficients to the decimated I/Q
+    before the demod (in-VMEM in the fused kernel; ``iqcorr.apply``
+    on the stock path); ``corr_moments=True`` additionally returns the
+    PRE-correction conic-fit moments as a third element
+    ``(fstate, fo, mom[..., 14])``, in the stock ``i_ds`` units both
+    paths share (the kernel emits its 128x-scaled streams as /128).
 
     ``demod_kind``: "diff" (the differentiator the reference runs in real
     time, src/filter.cpp:85-102 — the production path) or "arctan" (the
@@ -254,6 +262,10 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
         # carry the correction epilogue
         raise ValueError(f"IQ correction unsupported with frontend="
                          f"{frontend!r}; use 'fused' or 'stock'")
+    if corr_moments and corr is None:
+        raise ValueError("corr_moments=True requires corr (the fused "
+                         "kernel emits moments with its correction "
+                         "epilogue)")
 
     if frontend == "fused":
         # whole LTI front half in ONE Pallas pass: raw u8 -> fm -> mono
@@ -273,7 +285,8 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                                corr.rho.reshape(-1),
                                corr.s.reshape(-1)], axis=-1))
         (fmd, pilot, stereo, carrier, rds_delayed, iq_tail, prev_i,
-         prev_q, bank_tail, mono_delay, carrier_tail, rds_delay) = (
+         prev_q, bank_tail, mono_delay, carrier_tail, rds_delay,
+         mom) = (
             frontend_pallas.fused_frontend_full(
                 iq_u8.reshape(-1, bs), params.rf_coeff,
                 params.bank_coeff, params.rds_carrier_coeff,
@@ -282,18 +295,21 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                 flat(fstate.mono_delay), flat(fstate.carrier_tail),
                 flat(fstate.rds_delay), cfg.rf_decim,
                 rds=rds_enabled, mm_dtype=mm, corr=corr_arr))
-        return (FrontState(
-                    rf=RFState(iq_tail=unflat(iq_tail),
-                               prev_i=prev_i.reshape(batch),
-                               prev_q=prev_q.reshape(batch)),
-                    mono_delay=unflat(mono_delay),
-                    bank_tail=unflat(bank_tail),
-                    carrier_tail=unflat(carrier_tail),
-                    rds_delay=unflat(rds_delay)),
-                FrontOut(fm_delayed=unflat(fmd), pilot=unflat(pilot),
-                         stereo_band=unflat(stereo),
-                         carrier=unflat(carrier),
-                         rds_delayed=unflat(rds_delayed)))
+        ret = (FrontState(
+                   rf=RFState(iq_tail=unflat(iq_tail),
+                              prev_i=prev_i.reshape(batch),
+                              prev_q=prev_q.reshape(batch)),
+                   mono_delay=unflat(mono_delay),
+                   bank_tail=unflat(bank_tail),
+                   carrier_tail=unflat(carrier_tail),
+                   rds_delay=unflat(rds_delay)),
+               FrontOut(fm_delayed=unflat(fmd), pilot=unflat(pilot),
+                        stereo_band=unflat(stereo),
+                        carrier=unflat(carrier),
+                        rds_delayed=unflat(rds_delayed)))
+        if corr_moments:
+            return (*ret, mom.reshape(*batch, mom.shape[-1]))
+        return ret
 
     if frontend in ("fused-rf", "fused-phase"):
         from dy4tpu.ops import frontend_pallas
@@ -323,11 +339,12 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                                              cfg.rf_decim,
                                              precision=precision)
         i_ds, q_ds = iq_ds[..., 0, :], iq_ds[..., 1, :]
+        if corr_moments:
+            mom = iqcorr.moments(i_ds, q_ds)   # PRE-correction, IF rate
         if corr is not None:
-            # the 2x2 part commutes with the per-component RF LPF; only
-            # the DC offsets pick up the filter's DC gain (iqcorr.apply)
-            i_ds, q_ds = iqcorr.apply(i_ds, q_ds, corr,
-                                      dc_scale=jnp.sum(params.rf_coeff))
+            # estimation and application share the i_ds units, so the
+            # DC needs no filter-gain rescale (iqcorr.moments docstring)
+            i_ds, q_ds = iqcorr.apply(i_ds, q_ds, corr)
         if demod_kind == "arctan":
             # prev_i slot carries the previous block's phase (init 0
             # matches the model's state_phase=0, fmMonoBlock.py:594)
@@ -338,8 +355,11 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
                                                      fstate.rf.prev_i,
                                                      fstate.rf.prev_q)
     new_rf = RFState(iq_tail=iq_tail, prev_i=prev_i, prev_q=prev_q)
-    return _front_post_demod(params, fstate, fm, new_rf, precision,
-                             rds_enabled)
+    ret = _front_post_demod(params, fstate, fm, new_rf, precision,
+                            rds_enabled)
+    if corr_moments:
+        return (*ret, mom)
+    return ret
 
 
 def _front_post_demod(params: ReceiverParams, fstate: FrontState,
@@ -740,19 +760,27 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
     When the state carries an ``iqcorr`` tracker (init_state
     ``with_iqcorr=True``), each block is corrected with the coefficients
     accumulated over PREVIOUS blocks (strictly causal; block 0 is
-    identity) and its leading raw samples are folded into the tracker.
+    identity) and the front end's decimated pre-correction I/Q moments
+    are folded into the tracker (computed at IF rate in the fused
+    kernel's VMEM epilogue / from the stock path's ``i_ds`` — a raw-
+    rate side pass measured -28% of the chain).
     """
     rds_enabled = _rds_on(cfg, with_rds) and state.rds is not None
 
     corr = new_iqcorr = None
     if state.iqcorr is not None:
         corr = iqcorr.coeffs(state.iqcorr)
-        new_iqcorr = iqcorr.estimate_u8(iq_u8, state.iqcorr)
-
-    fstate, fo = front_step(params, front_state_of(state), iq_u8, cfg,
-                            precision=precision, rds_enabled=rds_enabled,
-                            frontend=frontend, demod_kind=demod_kind,
-                            corr=corr)
+        fstate, fo, mom = front_step(
+            params, front_state_of(state), iq_u8, cfg,
+            precision=precision, rds_enabled=rds_enabled,
+            frontend=frontend, demod_kind=demod_kind, corr=corr,
+            corr_moments=True)
+        new_iqcorr = iqcorr.fold(state.iqcorr, mom)
+    else:
+        fstate, fo = front_step(params, front_state_of(state), iq_u8,
+                                cfg, precision=precision,
+                                rds_enabled=rds_enabled,
+                                frontend=frontend, demod_kind=demod_kind)
     return _finish_step(params, state, fstate, fo, cfg, precision,
                         rds_enabled, backend, new_iqcorr=new_iqcorr)
 

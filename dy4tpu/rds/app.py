@@ -256,6 +256,29 @@ class StationInfo:
         return {g: names.get(aid, f"AID {aid:04X}")
                 for g, aid in self.oda.items()}
 
+    def to_dict(self) -> dict:
+        """JSON-safe snapshot of everything decoded so far — the CLI's
+        ``--rds-json`` event payload (machine consumers get structure;
+        the stderr console keeps the human-readable line).  Unset
+        fields are omitted so early events stay small."""
+        d = {
+            "pi": self.pi_hex, "pty": self.pty,
+            "pty_name": self.pty_name, "tp": self.tp, "ta": self.ta,
+            "ms": self.ms, "di": self.di or None, "ps": self.ps_name,
+            "ptyn": self.ptyn, "radiotext": self.radiotext,
+            "rtplus": self.rtplus or None, "af_mhz": self.af_mhz or None,
+            "clock_time": self.clock_time_str, "pin": self.pin_str,
+            "oda": self.oda_apps or None, "tmc": self.tmc_str or None,
+            "eon": {f"{pi:04X}": {k: v for k, v in
+                    {"ps": on.ps_name, "pty": on.pty, "tp": on.tp,
+                     "ta": on.ta,
+                     "af_mhz": on.af_mhz or None}.items()
+                    if v is not None}
+                    for pi, on in self.eon.items()} or None,
+            "groups_seen": self.groups_seen,
+        }
+        return {k: v for k, v in d.items() if v is not None}
+
 
 class ApplicationLayer:
     """Accumulates decoded groups into station info."""

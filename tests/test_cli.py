@@ -129,3 +129,27 @@ def test_cli_other_modes_stereo(mode):
     want = np.abs(l @ np.exp(-2j * np.pi * 500.0 * t))
     leak = np.abs(l @ np.exp(-2j * np.pi * 1300.0 * t))
     assert want > 3 * leak, (mode, want, leak)
+
+
+@pytest.mark.slow
+def test_cli_rds_json_events(tmp_path):
+    """--rds-json FILE: one JSON-lines event per decoded group, carrying
+    the accumulated station snapshot (machine-readable twin of the
+    stderr console)."""
+    import json
+
+    cfg, iq = _capture(20, rds=True)
+    out = tmp_path / "events.jsonl"
+    p = _run(["0", "r", "--rds-json", str(out)], iq.tobytes())
+    assert p.returncode == 0, p.stderr.decode()
+    events = [json.loads(line) for line in
+              out.read_text().strip().splitlines()]
+    assert len(events) >= 3
+    last = events[-1]
+    assert last["pi"] == "BEEF"
+    assert last["ps"] == "TESTING!"
+    assert last["pty_name"] == "Pop Music"
+    assert last["groups_seen"] == len(events)
+    assert all(e["group"] == "0A" for e in events)
+    # snapshots grow monotonically: early events omit unset fields
+    assert "ps" not in events[0] or events[0]["groups_seen"] > 1

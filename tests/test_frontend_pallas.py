@@ -148,7 +148,8 @@ def test_fused_frontend_full_matches_stock_stream(mode, rds):
             fs.rds_delay, cfg.rf_decim, rds=rds, mm_dtype=jnp.float32,
             interpret=True)
         (fmd, pilot, stereo, carrier, rdsdel, ntail, npi, npq, nbank,
-         nmono, ncar, nrds) = r
+         nmono, ncar, nrds, mom) = r
+        assert mom is None      # no corr requested
         checks = [(fmd, fo_ref.fm_delayed, 2e-3), (pilot, fo_ref.pilot, 1e-4),
                   (stereo, fo_ref.stereo_band, 5e-4),
                   (nbank, fs_ref.bank_tail, 2e-3),

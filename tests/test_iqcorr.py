@@ -19,11 +19,15 @@ from dy4tpu.ops import frontend_pallas, iqcorr
 from dy4tpu.pipeline import receiver
 from dy4tpu.tx import fm as txfm
 
-# strong-but-plausible tuner fault: 3.5 dB gain skew, 25 deg quadrature
-# error, LO-leakage offsets ~15/10 u8 LSB -> model IRR ~7.8 dB, enough
+# strong-but-plausible tuner fault: 3.1 dB gain skew, 25 deg quadrature
+# error, LO-leakage offsets ~15/10 u8 LSB -> model IRR ~11 dB, enough
 # to cost the mode-0 stereo decode >10 dB of separation (measured:
-# 30.3 -> 16.6 dB; corrected 33.2 dB)
-GAIN, PHASE, DCI, DCQ = 1.5, 25.0, 0.12, -0.08
+# 30.3 -> 16.6 dB; corrected 30.4).  The Q gain is ATTENUATING (0.7)
+# so the impaired capture stays inside the u8 range: ADC saturation
+# truncates the ellipse and biases ANY blind estimator (a 1.5x gain
+# clipped at 255 fit rho 0.53 vs truth 0.63) — keeping the ADC out of
+# saturation is the AGC's job, not the corrector's.
+GAIN, PHASE, DCI, DCQ = 0.7, 25.0, 0.12, -0.08
 
 
 def _impaired_fm_iq(n, seed=0):
@@ -146,8 +150,9 @@ def test_e2e_stereo_recovery():
 
 
 def test_fused_full_corr_matches_stock():
-    """The fused front kernel's in-VMEM correction epilogue vs the stock
-    path's iqcorr.apply at the same coefficients (interpret mode)."""
+    """The fused front kernel's in-VMEM correction epilogue + moment
+    tap vs the stock path's iqcorr.apply/moments at the same
+    coefficients (interpret mode)."""
     cfg = get_mode(0)
     c = 2
     params = receiver.make_params(cfg)
@@ -160,14 +165,19 @@ def test_fused_full_corr_matches_stock():
     blocks = iq.reshape(n_blocks, cfg.block_size)
     st = receiver.init_state(cfg, batch=(c,), with_iqcorr=True)
     fs = receiver.front_state_of(st)
-    corr_state = st.iqcorr
+    # fixed non-trivial coefficients (the model truth, in i_ds units);
+    # the parity bar only needs both paths to consume the SAME ones
+    phi = np.deg2rad(PHASE)
+    mk = lambda v: jnp.full((c,), v, jnp.float32)  # noqa: E731
+    corr = iqcorr.IQCorrCoeffs(
+        dc_i=mk(DCI * 100 / 128), dc_q=mk(DCQ * 100 / 128),
+        rho=mk(GAIN * np.sin(phi)), s=mk(1.0 / (GAIN * np.cos(phi))))
     for it in range(n_blocks):
         blk = (jnp.broadcast_to(jnp.asarray(blocks[it]),
                                 (c, cfg.block_size)) + jnp.uint8(0))
-        corr = iqcorr.coeffs(corr_state)
-        corr_state = iqcorr.estimate_u8(blk, corr_state)
-        fs_ref, fo_ref = receiver.front_step(params, fs, blk, cfg,
-                                             frontend="stock", corr=corr)
+        fs_ref, fo_ref, mom_ref = receiver.front_step(
+            params, fs, blk, cfg, frontend="stock", corr=corr,
+            corr_moments=True)
         corr_arr = jnp.stack([corr.dc_i, corr.dc_q, corr.rho, corr.s],
                              axis=-1)
         r = frontend_pallas.fused_frontend_full(
@@ -177,14 +187,16 @@ def test_fused_full_corr_matches_stock():
             fs.rds_delay, cfg.rf_decim, rds=True, mm_dtype=jnp.float32,
             interpret=True, corr=corr_arr)
         (fmd, pilot, stereo, carrier, rdsdel, *_rest) = r
+        mom_k = r[-1]
         for a, b, tol in [(fmd, fo_ref.fm_delayed, 2e-3),
                           (pilot, fo_ref.pilot, 1e-4),
                           (stereo, fo_ref.stereo_band, 5e-4),
                           (carrier, fo_ref.carrier, 1e-5),
-                          (rdsdel, fo_ref.rds_delayed, 1e-4)]:
+                          (rdsdel, fo_ref.rds_delayed, 1e-4),
+                          (mom_k, mom_ref, 5e-4)]:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=tol)
-        fs = fs_ref   # block 1 exercises non-trivial coeffs + histories
+        fs = fs_ref   # block 1 exercises non-trivial histories
 
 
 def test_receiver_step_if_iqcorr_runs():
@@ -207,7 +219,7 @@ def test_receiver_step_if_iqcorr_runs():
     st2, outs = jax.jit(lambda s, b: jax.lax.scan(body, s, b))(st, blocks)
     assert int(st2.iqcorr.count) == 4
     assert np.isfinite(np.asarray(outs.mono)).all()
-    assert float(st2.iqcorr.m_ii) > 0.0
+    assert float(st2.iqcorr.m[iqcorr._IDX[(2, 0)]]) > 0.0  # E[i^2]
 
 
 def test_iqcorr_rejected_on_ab_frontends():
@@ -219,3 +231,30 @@ def test_iqcorr_rejected_on_ab_frontends():
     with pytest.raises(ValueError, match="IQ correction"):
         receiver.front_step(params, receiver.front_state_of(st), blk,
                             cfg, frontend="fused-rf", corr=corr)
+
+
+def test_clean_capture_bit_identical():
+    """Deadband property: on a healthy tuner the sub-noise estimates
+    snap to the exact identity, so the tracker-on decode is
+    BIT-IDENTICAL to tracker-off (no correction tax on clean signals —
+    the -6 dB separation regression this deadband fixed)."""
+    cfg = get_mode(0)
+    n_blocks = 6
+    n_audio = n_blocks * cfg.audio_per_block
+    iq = txfm.synthesize(
+        cfg, n_blocks,
+        left=txfm.tone(800.0, cfg.audio_fs, n_audio, amp=0.8),
+        right=txfm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.8))
+    params = receiver.make_params(cfg)
+    blocks = jnp.asarray(iq.reshape(n_blocks, cfg.block_size))
+
+    def run(with_iqcorr):
+        st = receiver.init_state(cfg, with_iqcorr=with_iqcorr)
+        _, outs = jax.jit(lambda s, b: receiver.run_blocks(
+            params, s, b, cfg))(st, blocks)
+        return outs
+
+    a, b = run(False), run(True)
+    for x, y in [(a.mono, b.mono), (a.left, b.left), (a.right, b.right),
+                 (a.rds_symbols, b.rds_symbols)]:
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
