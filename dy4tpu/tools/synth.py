@@ -33,6 +33,19 @@ def main(argv=None) -> int:
     p.add_argument("--pty", type=int, default=10)
     p.add_argument("--noise", type=float, default=0.0,
                    help="additive IQ noise sigma")
+    p.add_argument("--dc", type=float, nargs=2, default=(0.0, 0.0),
+                   metavar=("I", "Q"),
+                   help="tuner LO-leakage DC offsets in signal units "
+                        "(ops/iqcorr.py impairment model; single-"
+                        "station only)")
+    p.add_argument("--iq-imbalance", type=float, nargs=2,
+                   default=(1.0, 0.0), metavar=("GAIN", "PHASE_DEG"),
+                   help="tuner Q-branch gain and quadrature-phase "
+                        "error (exercise the receiver's --iqcorr)")
+    p.add_argument("--multipath", default=None,
+                   help="static echo profile 'delay:gain[:phase_deg]"
+                        "[,...]' in RF samples, e.g. '24:0.5:120,"
+                        "60:0.32:-52' (single-station only)")
     p.add_argument("--wideband", type=int, default=0, metavar="C",
                    help="synthesize a C-channel wideband capture at "
                         "fs = C * if_fs instead of one RF station "
@@ -96,8 +109,21 @@ def main(argv=None) -> int:
                              / cfg.audio_fs * 1187.5 / 104) + 8)
         bits = coding.make_ps_bitstream(args.pi, args.pty, ps,
                                         repeats=repeats)
+    multipath = None
+    if args.multipath:
+        import numpy as np
+        multipath = []
+        for part in args.multipath.split(","):
+            f = part.split(":")
+            gain = float(f[1]) * np.exp(
+                1j * np.deg2rad(float(f[2]) if len(f) > 2 else 0.0))
+            multipath.append((int(f[0]), gain))
     iq = fm.synthesize(cfg, args.blocks, left=left, right=right,
-                       rds_bits=bits, noise=args.noise)
+                       rds_bits=bits, noise=args.noise,
+                       dc_i=args.dc[0], dc_q=args.dc[1],
+                       iq_gain=args.iq_imbalance[0],
+                       iq_phase_deg=args.iq_imbalance[1],
+                       multipath=multipath)
     iq.tofile(args.outfile)
     secs = args.blocks * cfg.iq_per_block / cfg.rf_fs
     print(f"wrote {args.outfile}: mode {args.mode}, {args.blocks} blocks "

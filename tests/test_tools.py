@@ -146,3 +146,29 @@ def test_bench_wideband_smoke():
     rec = json.loads(lines[0])
     assert rec["metric"] == "wideband_channelizer_4ch_iq_throughput_per_chip"
     assert rec["value"] > 0 and rec["unit"] == "MS/s"
+
+
+def test_synth_impairment_flags(tmp_path):
+    """--dc / --iq-imbalance / --multipath thread the tx fault models
+    through to a decodable capture (the receiver's --iqcorr target)."""
+    cfg = get_mode(0)
+    # dc alone: the offsets must land as u8 lane-mean shifts (~15 LSB
+    # +- the FM carrier-line component)
+    cap = str(tmp_path / "dc.raw")
+    p = _run("dy4tpu.tools.synth",
+             [cap, "--mode", "0", "--blocks", "4",
+              "--dc", "0.1", "-0.05"])
+    assert p.returncode == 0, p.stderr.decode()
+    iq = np.fromfile(cap, np.uint8)
+    assert len(iq) == 4 * cfg.block_size
+    assert 6.0 < iq[0::2].mean() - iq[1::2].mean() < 24.0
+
+    # all three fault models together still parse and differ from dc-only
+    cap2 = str(tmp_path / "fault.raw")
+    p = _run("dy4tpu.tools.synth",
+             [cap2, "--mode", "0", "--blocks", "4",
+              "--dc", "0.1", "-0.05", "--iq-imbalance", "0.75", "20",
+              "--multipath", "24:0.4:120,60:0.2"])
+    assert p.returncode == 0, p.stderr.decode()
+    iq2 = np.fromfile(cap2, np.uint8)
+    assert len(iq2) == len(iq) and not np.array_equal(iq, iq2)
