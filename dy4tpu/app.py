@@ -393,6 +393,7 @@ def main(argv: Optional[list[str]] = None) -> int:
               + (" ODA=" + ",".join(f"{g}:{aid:04X}"
                                     for g, aid in sorted(info.oda.items()))
                  if info.oda else "")
+              + (f" eRT={info.ert!r}" if info.ert else "")
               + (" RT+=" + ",".join(f"{k}={v!r}"
                                     for k, v in info.rtplus.items())
                  if info.rtplus else "")

@@ -158,6 +158,12 @@ class StationInfo:
     #   RDS-TMC (AID 0xCD46) single-group user messages, capped; each is
     #   dict(event, location, extent, direction, diversion, duration)
     tmc_other: int = 0   # multi-group/system 8A groups (counted only)
+    oda_message: dict = dataclasses.field(default_factory=dict)
+    #   3A block C per carrier group (application message word; eRT
+    #   reads its character-table flag from bit 0)
+    ert_segments: list = dataclasses.field(
+        default_factory=lambda: [b""] * 32)  # eRT (AID 0x6552): 4-byte
+    #   text segments addressed by block B's low 5 bits
     groups_seen: int = 0
 
     @property
@@ -246,6 +252,22 @@ class StationInfo:
         return out
 
     @property
+    def ert(self) -> Optional[str]:
+        """Enhanced RadioText (AID 0x6552), decoded per the announced
+        character table (3A message bit 0: 1 = UTF-8, 0 = UCS-2 BE),
+        trimmed at the 0x0D terminator."""
+        if not any(self.ert_segments):
+            return None
+        carrier = next((g for g, aid in self.oda.items()
+                        if aid == 0x6552), None)
+        utf8 = bool(self.oda_message.get(carrier, 1) & 1)
+        pad = b"    " if utf8 else b"\x00 \x00 "
+        raw = b"".join(s if s else pad for s in self.ert_segments)
+        text = raw.decode("utf-8" if utf8 else "utf-16-be",
+                          errors="replace")
+        return text.split("\r")[0].rstrip()
+
+    @property
     def oda_apps(self) -> dict:
         """Announced open-data applications by carrier group, with the
         registered application named ('RDS-TMC/Alert-C' = 0xCD46,
@@ -266,6 +288,7 @@ class StationInfo:
             "pty_name": self.pty_name, "tp": self.tp, "ta": self.ta,
             "ms": self.ms, "di": self.di or None, "ps": self.ps_name,
             "ptyn": self.ptyn, "radiotext": self.radiotext,
+            "ert": self.ert,
             "rtplus": self.rtplus or None, "af_mhz": self.af_mhz or None,
             "clock_time": self.clock_time_str, "pin": self.pin_str,
             "oda": self.oda_apps or None, "tmc": self.tmc_str or None,
@@ -333,6 +356,14 @@ class ApplicationLayer:
                 (ct2, (d >> 5) & 0x3F, d & 0x1F)):
             if ct:                          # class 0 = DUMMY_CLASS
                 info.rtplus_tags[ct] = (start, length)
+
+    def _ert(self, b5: int, c: int, d: int) -> None:
+        """Enhanced RadioText (RDS Forum eRT spec; AID 0x6552): block
+        B's low 5 bits address one of 32 four-byte text segments in
+        blocks C+D; the 3A message word's bit 0 selects the character
+        table (1 = UTF-8, 0 = UCS-2) — applied at render time."""
+        self.info.ert_segments[b5 & 0x1F] = bytes(
+            [(c >> 8) & 0xFF, c & 0xFF, (d >> 8) & 0xFF, d & 0xFF])
 
     def _tmc(self, b5: int, c: int, d: int) -> None:
         """RDS-TMC Alert-C (ISO 14819-1 §5.3): decode single-group user
@@ -414,6 +445,9 @@ class ApplicationLayer:
                 if d is not None:
                     carrier = f"{(b >> 1) & 0xF}{'B' if b & 1 else 'A'}"
                     info.oda[carrier] = d
+                    c3 = group.blocks.get("C")
+                    if c3 is not None:
+                        info.oda_message[carrier] = c3
             if info.group_type == 10 and info.version == "A":
                 flag = (b >> 4) & 1
                 if info.ptyn_flag is not None and flag != info.ptyn_flag:
@@ -487,6 +521,8 @@ class ApplicationLayer:
                         self._rtplus(b & 0x1F, c, d)
                     elif aid == 0xCD46:
                         self._tmc(b & 0x1F, c, d)
+                    elif aid == 0x6552:
+                        self._ert(b & 0x1F, c, d)
         if self.verbose:
             # stderr: stdout must stay a clean PCM pipe (constraints pdf p.2)
             print(f"RDS group: PI={info.pi_hex} PTY={info.pty_name!r} "

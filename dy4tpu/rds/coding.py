@@ -447,6 +447,19 @@ def make_group_rtplus(pi: int, pty: int, app_group: str,
     return make_group_oda(pi, pty, app_group, b5, block_c, block_d, tp=tp)
 
 
+def make_group_ert(pi: int, pty: int, app_group: str, addr: int,
+                   four_bytes: bytes, tp: int = 0) -> list[int]:
+    """One Enhanced-RadioText application group (RDS Forum eRT spec;
+    AID 0x6552, announce with ``make_group_3a(message=1)`` for UTF-8):
+    ``addr`` selects one of 32 four-byte text segments carried in
+    blocks C+D."""
+    assert 0 <= addr < 32 and len(four_bytes) == 4
+    block_c = (four_bytes[0] << 8) | four_bytes[1]
+    block_d = (four_bytes[2] << 8) | four_bytes[3]
+    return make_group_oda(pi, pty, app_group, addr, block_c, block_d,
+                          tp=tp)
+
+
 def make_group_tmc_single(pi: int, pty: int, event: int, location: int,
                           extent: int = 0, direction: int = 0,
                           diversion: int = 0, duration: int = 0,

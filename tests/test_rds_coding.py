@@ -557,3 +557,22 @@ def test_tmc_single_group_decode():
     assert app.info.tmc_str[0] == ("stationary traffic at location 12345"
                                    " extent -2 (diversion advised)")
     assert app.info.tmc_str[1] == "roadworks at location 777"
+
+
+def test_ert_utf8_decode():
+    """Enhanced RadioText (AID 0x6552): 32x4-byte segments, UTF-8 per
+    the 3A message's character-table bit, 0x0D-terminated — carries
+    text the basic 2A table cannot (here a multi-byte character)."""
+    pi, pty = 0x54A7, 10
+    text = "Café ♫ now open".encode("utf-8") + b"\r"
+    padded = text + b" " * (-len(text) % 4)
+    bits = list(coding.make_group_3a(pi, pty, "11A", 0x6552, message=1))
+    for seg in range(len(padded) // 4):
+        bits.extend(coding.make_group_ert(pi, pty, "11A", seg,
+                                          padded[4 * seg:4 * seg + 4]))
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(np.array(bits, np.int8)):
+        app.process(g)
+    assert app.info.oda_apps["11A"] == "Enhanced RadioText"
+    assert app.info.ert == "Café ♫ now open"
