@@ -17,7 +17,9 @@ margin of the TPU chain.
 Run:  python -m benchmarks.ber_sweep   (CPU ok: DY4TPU_PLATFORM=cpu)
 Env: BER_MODE (0 or 2 — mode 2 runs the SPS=27 constraint-table config,
 VERDICT r2 item 8), BER_BLOCKS (default 32), BER_NOISE (comma list of
-amplitudes).
+amplitudes), BER_CDR (peak = reference parity | envelope = the opt-in
+square-law timing estimator, receiver._cdr), BER_CORRECT (0 disables
+burst correction).
 """
 
 import os
@@ -49,8 +51,15 @@ def run_level(cfg, params, n_blocks: int, noise: float, seed: int):
                        rds_bits=bits, noise=noise, seed=seed)
     state = receiver.init_state(cfg)
     blocks = jnp.asarray(iq.reshape(n_blocks, cfg.block_size))
-    _, outs = jax.jit(lambda s, b: receiver.run_blocks(
-        params, s, b, cfg))(state, blocks)
+    # BER_CDR=envelope A/Bs the square-law timing estimator
+    timing = os.environ.get("BER_CDR", "peak")
+
+    def body(s, b):
+        return receiver.receiver_step(params, s, b, cfg,
+                                      cdr_timing=timing)
+
+    _, outs = jax.jit(lambda s, b: jax.lax.scan(body, s, b))(
+        state, blocks)
 
     syms = np.asarray(outs.rds_symbols)          # [B, spb]
     resync = np.asarray(outs.rds_resync)

@@ -90,6 +90,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "on the decoded audio; 'off' (parity default) "
                         "matches the reference, which never de-emphasizes "
                         "(project.cpp:95-134)")
+    p.add_argument("--cdr", choices=["peak", "envelope"], default=None,
+                   help="RDS symbol-timing acquisition: 'peak' "
+                        "(reference parity, strongest sample of the "
+                        "first two symbols) or 'envelope' (square-law "
+                        "spectral estimate over the whole block — "
+                        "materially more robust at mode 2's SPS=27); "
+                        "default honours DY4TPU_CDR, else peak")
     p.add_argument("--iqcorr", action="store_true",
                    help="blind DC-offset + IQ-imbalance correction on "
                         "the tuner stream (ops/iqcorr.py; default off = "
@@ -275,7 +282,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         def body(c, blk):
             st, de = c
             st, out = receiver.receiver_step(params, st, blk, cfg,
-                                             with_rds=want_rds)
+                                             with_rds=want_rds,
+                                             cdr_timing=args.cdr)
             if args.stereo_blend and stereo:
                 bl, br = mixops.stereo_blend(out.left, out.right,
                                              out.pilot_snr_db)

@@ -694,10 +694,11 @@ def init_state(cfg: ModeConfig, batch: tuple[int, ...] = (),
         if with_iqcorr else None)
 
 
-def _cdr(bb_i: Array, bb_q: Array, state: CDRState, sps: int
+def _cdr(bb_i: Array, bb_q: Array, state: CDRState, sps: int,
+         timing: str = "peak"
          ) -> tuple[Array, Array, Array, Array, CDRState]:
-    """Clock/data recovery: pick a sampling phase by peak search when
-    unlocked, then sample every ``sps``-th baseband sample.
+    """Clock/data recovery: pick a sampling phase when unlocked, then
+    sample every ``sps``-th baseband sample.
 
     Static-shape redesign of ``manchesterEncoded``
     (fmSupportLib.py:209-247): the reference's searched offset may fall in
@@ -706,13 +707,34 @@ def _cdr(bb_i: Array, bb_q: Array, state: CDRState, sps: int
     ``resync`` flag tells the decoder to reset its pairing vote.  The
     amplitude sanity check (< 0.05 on the last two samples -> re-acquire,
     fmSupportLib.py:235-238) is kept.
+
+    ``timing`` selects the acquisition estimator:
+    - "peak" (reference parity): strongest |I| sample in the first
+      2*sps (two symbols of evidence — one noise spike mislocks it).
+    - "envelope" (opt-in, `DY4TPU_CDR=envelope`): square-law spectral
+      timing (Oerder & Meyr): the RRC-shaped baseband's envelope
+      i^2+q^2 has a spectral line at the symbol rate whose phase IS
+      the sampling phase, so ``tau = arg(sum_n e[n] exp(-j2pi n/sps))
+      * sps/2pi`` uses EVERY sample of the block — one dot against a
+      precomputed phasor, no scan, and the estimate averages the
+      whole block's energy instead of trusting two symbols.
     """
     n = bb_i.shape[-1]
     m = n // sps
-    # candidate offset: strongest sample in the first 2*sps (abs value —
-    # the reference's signed-max comparison is a bug we do not keep)
-    search = jnp.abs(bb_i[..., : 2 * sps])
-    cand = (jnp.argmax(search, axis=-1) % sps).astype(jnp.int32)
+    if timing == "envelope":
+        w = 2.0 * np.pi * np.arange(n) / sps
+        e = bb_i * bb_i + bb_q * bb_q
+        cr = jnp.sum(e * jnp.asarray(np.cos(w), bb_i.dtype), axis=-1)
+        ci = jnp.sum(e * jnp.asarray(np.sin(w), bb_i.dtype), axis=-1)
+        tau = jnp.arctan2(ci, cr) * (sps / (2.0 * np.pi))
+        cand = (jnp.round(tau).astype(jnp.int32) % sps)
+    else:
+        assert timing == "peak", timing
+        # candidate offset: strongest sample in the first 2*sps (abs
+        # value — the reference's signed-max comparison is a bug we do
+        # not keep)
+        search = jnp.abs(bb_i[..., : 2 * sps])
+        cand = (jnp.argmax(search, axis=-1) % sps).astype(jnp.int32)
     resync = ~state.found
     offset = jnp.where(resync, cand, state.offset)
 
@@ -745,7 +767,8 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
                   precision=jax.lax.Precision.HIGHEST,
                   with_rds: Optional[bool] = None,
                   frontend: str = "auto", backend: str = "auto",
-                  demod_kind: str = "diff"
+                  demod_kind: str = "diff",
+                  cdr_timing: Optional[str] = None
                   ) -> tuple[ReceiverState, StepOutputs]:
     """Process one block of interleaved u8 IQ samples.
 
@@ -782,14 +805,16 @@ def receiver_step(params: ReceiverParams, state: ReceiverState,
                                 rds_enabled=rds_enabled,
                                 frontend=frontend, demod_kind=demod_kind)
     return _finish_step(params, state, fstate, fo, cfg, precision,
-                        rds_enabled, backend, new_iqcorr=new_iqcorr)
+                        rds_enabled, backend, new_iqcorr=new_iqcorr,
+                        cdr_timing=cdr_timing)
 
 
 def receiver_step_if(params: ReceiverParams, state: ReceiverState,
                      i_if: Array, q_if: Array, cfg: ModeConfig,
                      precision=jax.lax.Precision.HIGHEST,
                      with_rds: Optional[bool] = None,
-                     frontend: str = "auto", backend: str = "auto"
+                     frontend: str = "auto", backend: str = "auto",
+                     cdr_timing: Optional[str] = None
                      ) -> tuple[ReceiverState, StepOutputs]:
     """Process one block of IF-rate complex baseband (I/Q at
     ``cfg.if_fs``), e.g. one channel of ``ops/channelizer.py``'s DFT
@@ -813,13 +838,20 @@ def receiver_step_if(params: ReceiverParams, state: ReceiverState,
                                cfg, precision=precision,
                                rds_enabled=rds_enabled, frontend=frontend)
     return _finish_step(params, state, fstate, fo, cfg, precision,
-                        rds_enabled, backend, new_iqcorr=new_iqcorr)
+                        rds_enabled, backend, new_iqcorr=new_iqcorr,
+                        cdr_timing=cdr_timing)
 
 
 def _finish_step(params: ReceiverParams, state: ReceiverState,
                  fstate: FrontState, fo: FrontOut, cfg: ModeConfig,
                  precision, rds_enabled: bool, backend: str,
-                 new_iqcorr=None) -> tuple[ReceiverState, StepOutputs]:
+                 new_iqcorr=None, cdr_timing: Optional[str] = None
+                 ) -> tuple[ReceiverState, StepOutputs]:
+    if cdr_timing is None:
+        import os
+        cdr_timing = os.environ.get("DY4TPU_CDR", "peak")
+    if cdr_timing not in ("peak", "envelope"):
+        raise ValueError(f"unknown cdr_timing {cdr_timing!r}")
     # ---- stereo + RDS PLLs (project.cpp:118-133; fmMonoBlock.py:683) ----
     if rds_enabled:
         # stack the pilot (19 kHz, x2, bw .01) and RDS carrier (114 kHz,
@@ -873,7 +905,8 @@ def _finish_step(params: ReceiverParams, state: ReceiverState,
     rds_out = (None,) * 6
     if rds_enabled:
         sym_i, sym_q, symbols, resync, cdr = _cdr(bo.bb_i, bo.bb_q,
-                                                  rds.cdr, cfg.rds_sps)
+                                                  rds.cdr, cfg.rds_sps,
+                                                  timing=cdr_timing)
         new_rds = RDSState(carrier_tail=fstate.carrier_tail,
                            delay=fstate.rds_delay,
                            lpf_tail_i=bstate.lpf_tail_i,
