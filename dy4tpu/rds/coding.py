@@ -473,6 +473,74 @@ def make_group_tmc_single(pi: int, pty: int, event: int, location: int,
     return make_group_oda(pi, pty, "8A", b5, block_c, location, tp=tp)
 
 
+def make_station_bitstream(pi: int, pty: int, ps: str, *,
+                           groups: int = 96, radiotext: str = None,
+                           rt_title: str = None, rt_artist: str = None,
+                           af_mhz=(), ptyn: str = None, clock=None,
+                           rtplus_group: str = "12A",
+                           tp: int = 0, ta: int = 0, ms: int = 1
+                           ) -> list[int]:
+    """A realistic broadcaster's group schedule (one call = one
+    station): 0A dominates (PS + AF, like real transmitters at ~4/s of
+    the 11.4 groups/s budget), 2A radiotext cycles its segments, and
+    the slower services (10A PTYN, 4A clock at ``clock=(y,mo,d,h,mi,
+    offset_half_hours)``, 3A RadioText+ announcement + RT+ tags for
+    ``rt_title``/``rt_artist`` found in the radiotext) are sprinkled at
+    their spec-typical rates.  Complements the single-service
+    ``make_*_bitstream`` helpers by exercising a decoder against an
+    INTERLEAVED stream — what an off-air capture actually looks like.
+    """
+    ps = (ps + " " * 8)[:8]
+    afw = af_words(af_mhz) if af_mhz else [0xE0E0]
+    rt = radiotext
+    n_rt_seg = 0 if rt is None else min(16, -(-min(len(rt) + 1, 64) // 4))
+    rt_pad = None if rt is None else (rt[:64] + "\r").ljust(64)[:64]
+
+    tags = []
+    if rt is not None:
+        for ctype, sub in ((1, rt_title), (4, rt_artist)):
+            if sub:
+                start = rt.find(sub)
+                if start < 0:
+                    raise ValueError(f"{sub!r} not in radiotext")
+                tags.append((ctype, start, len(sub) - 1))
+    ps_seg = rt_seg = ptyn_seg = af_k = 0
+    bits: list[int] = []
+    for g in range(groups):
+        slot = g % 12
+        if clock is not None and g % 48 == 24:
+            y, mo, d, h, mi, off = clock
+            bits.extend(make_group_4a(pi, pty, ymd_to_mjd(y, mo, d),
+                                      h, mi, off, tp=tp))
+        elif tags and slot == 5:
+            bits.extend(make_group_3a(pi, pty, rtplus_group, 0x4BD7))
+        elif tags and slot == 11:
+            bits.extend(make_group_rtplus(
+                pi, pty, rtplus_group, tags[0],
+                tags[1] if len(tags) > 1 else (0, 0, 0), toggle=1,
+                tp=tp))
+        elif ptyn is not None and slot == 8:
+            p2 = (ptyn + " " * 8)[:8]
+            bits.extend(make_group_10a(pi, pty, ptyn_seg % 2,
+                                       p2[4 * (ptyn_seg % 2):]
+                                       [:4], tp=tp))
+            ptyn_seg += 1
+        elif rt_pad is not None and slot % 3 == 1:
+            seg = rt_seg % n_rt_seg
+            bits.extend(make_group_2a(pi, pty, seg,
+                                      rt_pad[4 * seg:4 * seg + 4],
+                                      tp=tp))
+            rt_seg += 1
+        else:
+            bits.extend(make_group_0a(pi, pty, ps_seg % 4,
+                                      ps[2 * (ps_seg % 4):]
+                                      [:2], tp=tp, ta=ta, ms=ms,
+                                      af=afw[af_k % len(afw)]))
+            ps_seg += 1
+            af_k += 1
+    return bits
+
+
 def ymd_to_mjd(year: int, month: int, day: int) -> int:
     """Modified Julian Day from a calendar date (RDS standard annex G)."""
     l = 1 if month in (1, 2) else 0

@@ -31,6 +31,19 @@ def main(argv=None) -> int:
     p.add_argument("--ps", default="DY4 TPU!",
                    help="8-char RDS programme-service name")
     p.add_argument("--pty", type=int, default=10)
+    p.add_argument("--radiotext", default=None,
+                   help="with --pi: schedule a full station stream "
+                        "(0A + 2A radiotext + optional RT+/PTYN/AF) "
+                        "instead of PS-only groups")
+    p.add_argument("--rt-title", default=None,
+                   help="RadioText+ ITEM.TITLE substring of --radiotext")
+    p.add_argument("--rt-artist", default=None,
+                   help="RadioText+ ITEM.ARTIST substring of --radiotext")
+    p.add_argument("--af", default=None,
+                   help="comma-separated alternative frequencies in "
+                        "MHz, e.g. '98.5,101.1'")
+    p.add_argument("--ptyn", default=None,
+                   help="programme type name (group 10A)")
     p.add_argument("--noise", type=float, default=0.0,
                    help="additive IQ noise sigma")
     p.add_argument("--dc", type=float, nargs=2, default=(0.0, 0.0),
@@ -105,10 +118,17 @@ def main(argv=None) -> int:
             print(f"mode {args.mode} does not support RDS", file=sys.stderr)
             return 2
         ps = (args.ps + " " * 8)[:8]
-        repeats = max(8, int(args.blocks * cfg.audio_per_block
-                             / cfg.audio_fs * 1187.5 / 104) + 8)
-        bits = coding.make_ps_bitstream(args.pi, args.pty, ps,
-                                        repeats=repeats)
+        n_groups = max(32, int(args.blocks * cfg.audio_per_block
+                               / cfg.audio_fs * 1187.5 / 104) + 32)
+        af = ([float(f) for f in args.af.split(",")] if args.af else ())
+        if args.radiotext or args.af or args.ptyn:
+            bits = coding.make_station_bitstream(
+                args.pi, args.pty, ps, groups=n_groups,
+                radiotext=args.radiotext, rt_title=args.rt_title,
+                rt_artist=args.rt_artist, af_mhz=af, ptyn=args.ptyn)
+        else:
+            bits = coding.make_ps_bitstream(args.pi, args.pty, ps,
+                                            repeats=n_groups // 4)
     multipath = None
     if args.multipath:
         import numpy as np

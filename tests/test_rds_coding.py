@@ -576,3 +576,30 @@ def test_ert_utf8_decode():
         app.process(g)
     assert app.info.oda_apps["11A"] == "Enhanced RadioText"
     assert app.info.ert == "Café ♫ now open"
+
+
+def test_station_scheduler_interleaved_decode():
+    """make_station_bitstream: every service decodes from ONE
+    interleaved stream (what an off-air capture looks like), not the
+    homogeneous per-service streams of the other helpers."""
+    pi, pty = 0x54A7, 10
+    rt = "Now: Daydream by Wallace Collection"
+    bits = coding.make_station_bitstream(
+        pi, pty, "DY4 FM  ", groups=120, radiotext=rt,
+        rt_title="Daydream", rt_artist="Wallace Collection",
+        af_mhz=(98.5, 101.1), ptyn="CLASSICS",
+        clock=(2026, 8, 20, 12, 34, 4))
+    fs = FrameSynchronizer()
+    app = ApplicationLayer()
+    for g in fs.push(np.array(bits, np.int8)):
+        app.process(g)
+    info = app.info
+    assert info.pi == pi and info.pty == pty
+    assert info.ps_name == "DY4 FM  "
+    assert info.radiotext == rt
+    assert info.rtplus == {"ITEM.TITLE": "Daydream",
+                           "ITEM.ARTIST": "Wallace Collection"}
+    assert info.af_mhz == [98.5, 101.1]
+    assert info.ptyn == "CLASSICS"
+    assert info.clock_time_str == "2026-08-20 12:34 UTC+2"
+    assert info.oda_apps["12A"] == "RadioText+"
