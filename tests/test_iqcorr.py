@@ -258,3 +258,34 @@ def test_clean_capture_bit_identical():
     for x, y in [(a.mono, b.mono), (a.left, b.left), (a.right, b.right),
                  (a.rds_symbols, b.rds_symbols)]:
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_recovery_under_multipath():
+    """The ellipse fit stays useful when the channel is NOT constant
+    modulus: two urban echoes thicken the circle into an annulus, yet
+    an imbalanced+offset tuner still corrects from 21.2 to 32.4 dB of
+    separation (the annulus' symmetric scatter biases the fit toward
+    the identity, not away from it)."""
+    cfg = get_mode(0)
+    n_blocks = 12
+    n_audio = n_blocks * cfg.audio_per_block
+    lf, rf = 800.0, 2400.0
+    iq = txfm.synthesize(
+        cfg, n_blocks,
+        left=txfm.tone(lf, cfg.audio_fs, n_audio, amp=0.8),
+        right=txfm.tone(rf, cfg.audio_fs, n_audio, amp=0.8),
+        multipath=[(24, 0.35 * np.exp(1j * 2.0)),
+                   (60, 0.2 * np.exp(-1j * 0.7))],
+        dc_i=0.1, dc_q=-0.06, iq_gain=0.72, iq_phase_deg=18.0)
+    params = receiver.make_params(cfg)
+    blocks = jnp.asarray(iq.reshape(n_blocks, cfg.block_size))
+
+    def run(wc):
+        st = receiver.init_state(cfg, with_iqcorr=wc)
+        _, outs = jax.jit(lambda s, b: receiver.run_blocks(
+            params, s, b, cfg))(st, blocks)
+        return _sep_db(outs, lf, rf, cfg.audio_fs)
+
+    off, on = run(False), run(True)
+    assert on - off > 8.0, (off, on)
+    assert on > 28.0, on
