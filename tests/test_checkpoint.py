@@ -55,3 +55,37 @@ def test_host_decoder_state_roundtrip(tmp_path):
     b1 = d1.manchester.push(sym[300:])
     b2 = d2.manchester.push(sym[300:])
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_iqcorr_state_roundtrip(tmp_path):
+    """The IQ tracker's EMA moments ride the same checkpoint pytree:
+    a resumed impaired-tuner stream continues bit-identically (no
+    re-warm-up of the correction)."""
+    cfg = get_mode(0)
+    n_blocks = 6
+    iq = fm.synthesize(cfg, n_blocks,
+                       left=fm.tone(440.0, cfg.audio_fs,
+                                    n_blocks * cfg.audio_per_block, 0.5),
+                       dc_i=0.1, dc_q=-0.05, iq_gain=0.75,
+                       iq_phase_deg=15.0)
+    params = receiver.make_params(cfg)
+    blocks = iq.reshape(n_blocks, cfg.block_size)
+
+    st = receiver.init_state(cfg, with_iqcorr=True)
+    for b in range(3):
+        st, _ = receiver.receiver_step(params, st,
+                                       jnp.asarray(blocks[b]), cfg)
+    path = str(tmp_path / "rx_iqcorr.ckpt")
+    ckpt.save(path, st, meta={"block": 3})
+    st2, _, _ = ckpt.load(path)
+    assert int(st2.iqcorr.count) == 3
+
+    for b in range(3, n_blocks):
+        st, out = receiver.receiver_step(params, st,
+                                         jnp.asarray(blocks[b]), cfg)
+        st2, out2 = receiver.receiver_step(params, st2,
+                                           jnp.asarray(blocks[b]), cfg)
+        np.testing.assert_array_equal(np.asarray(out.mono),
+                                      np.asarray(out2.mono))
+        np.testing.assert_array_equal(np.asarray(out.left),
+                                      np.asarray(out2.left))
