@@ -289,3 +289,30 @@ def test_recovery_under_multipath():
     off, on = run(False), run(True)
     assert on - off > 8.0, (off, on)
     assert on > 28.0, on
+
+
+def test_ellipse_fit_fuzz():
+    """Property: for random in-range faults the fit inverts the model
+    (constant-modulus stream, no noise -> near-exact recovery)."""
+    rng = np.random.default_rng(42)
+    n = 1 << 14
+    phase = np.cumsum(1.2 * rng.standard_normal(n))
+    i, q = np.cos(phase), np.sin(phase)
+    for trial in range(12):
+        g = float(rng.uniform(0.5, 1.4))
+        ph = float(rng.uniform(-35.0, 35.0))
+        di = float(rng.uniform(-0.2, 0.2))
+        dq = float(rng.uniform(-0.2, 0.2))
+        io, qo = iqcorr.impair(i, q, dc_i=di, dc_q=dq, gain=g,
+                               phase_deg=ph)
+        st = iqcorr.estimate(jnp.asarray(io), jnp.asarray(qo),
+                             iqcorr.init_iqcorr_state())
+        c = iqcorr.coeffs(st, deadband=0.0, deadband_dc=0.0)
+        phi = np.deg2rad(ph)
+        assert abs(float(c.dc_i) - di) < 5e-3, (trial, g, ph, di, dq)
+        assert abs(float(c.dc_q) - dq) < 5e-3
+        assert abs(float(c.rho) - g * np.sin(phi)) < 1.5e-2
+        assert abs(float(c.s) - 1.0 / (g * np.cos(phi))) < 1.5e-2
+        ic, qc = iqcorr.apply(jnp.asarray(io), jnp.asarray(qo), c)
+        err = np.hypot(np.asarray(ic) - i, np.asarray(qc) - q)
+        assert np.sqrt(np.mean(err ** 2)) < 0.02, (trial, g, ph)
