@@ -47,6 +47,12 @@ def main(argv=None) -> int:
     p.add_argument("--sync-ingest", action="store_true",
                    help="serialise upload/compute/decode (A/B baseline "
                         "for the overlapped pipeline)")
+    p.add_argument("--iqcorr", action="store_true",
+                   help="per-station blind DC/IQ-imbalance tracker "
+                        "(ops/iqcorr.py) — each capture gets its own "
+                        "correction state")
+    p.add_argument("--cdr", choices=["peak", "envelope"], default=None,
+                   help="RDS timing acquisition (see the receiver CLI)")
     args = p.parse_args(argv)
 
     from dy4tpu.utils import jaxenv
@@ -81,12 +87,14 @@ def main(argv=None) -> int:
     chunks = [host_blocks[i:i + k] for i in range(0, n_blocks, k)]
 
     params = receiver.make_params(cfg)
-    state = receiver.init_state(cfg, batch=(c,))
+    state = receiver.init_state(cfg, batch=(c,),
+                                with_iqcorr=args.iqcorr)
 
     @functools.partial(jax.jit, static_argnames=("nk",))
     def run_chunk(state, blocks, nk):
         def body(st, blk):
-            st, out = receiver.receiver_step(params, st, blk, cfg)
+            st, out = receiver.receiver_step(params, st, blk, cfg,
+                                             cdr_timing=args.cdr)
             return st, (out.rds_symbols, out.rds_resync, out.rds_offset)
         return lax.scan(body, state, blocks)
 
@@ -104,7 +112,8 @@ def main(argv=None) -> int:
 
     # compile with the two chunk lengths that occur (full + remainder)
     for nk in sorted({ch.shape[0] for ch in chunks}):
-        s0 = receiver.init_state(cfg, batch=(c,))
+        s0 = receiver.init_state(cfg, batch=(c,),
+                                 with_iqcorr=args.iqcorr)
         out = run_chunk(s0, jnp.zeros((nk, c, cfg.block_size), jnp.uint8),
                         nk)
         jax.block_until_ready(out)
