@@ -30,7 +30,11 @@ Other knobs: BENCH_RADIO_MODE (0-3: which reference mode's chain to
 bench — RDS validation applies to the RDS-capable modes 0/2),
 BENCH_CHANNELS, BENCH_BLOCKS, BENCH_REPEATS, BENCH_PRECISION
 (default|high|highest), BENCH_VALIDATE=0 to skip the decode asserts
-(debug only).
+(debug only), BENCH_IQCORR=1 (A/B the blind tuner-fault tracker:
+measured -0.4%, free).  The serving-path A/B env knobs apply too:
+DY4TPU_FRONTEND/BACKEND/RDS_BACKEND (fused|stock),
+DY4TPU_PLL_SPAN=K (opt-in decimated feedback, +8% at K=16),
+DY4TPU_CDR=envelope (whole-block RDS timing, -0.2% = free).
 """
 
 from __future__ import annotations
