@@ -132,22 +132,10 @@ def _validate(cfg, outs, n_blocks: int) -> None:
           f"({app.info.groups_seen} groups)", file=sys.stderr)
 
 
-def bench_chain() -> None:
-    radio_mode = int(os.environ.get("BENCH_RADIO_MODE", 0))
+def _time_chain(radio_mode: int, channels: int, n_blocks: int,
+                repeats: int, precision, validate: bool) -> float:
+    """Compile + time one mode's chain; returns IQ MS/s."""
     cfg = get_mode(radio_mode)
-    platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
-    channels = int(os.environ.get("BENCH_CHANNELS", 512 if on_tpu else 2))
-    # 64 blocks = 1.7 s of stream per scan: measured saturation point of
-    # the dispatch-amortisation curve (32: 15.0-15.2, 48: 15.6, 64: 16.5,
-    # 96: 16.6 GS/s) and still a realistic serving batch
-    n_blocks = int(os.environ.get("BENCH_BLOCKS", 64 if on_tpu else 2))
-    repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
-    # DEFAULT (bf16-input matmul) is the production-serving configuration:
-    # benchmarks/precision_check.py measures bit-identical RDS symbols and
-    # equal stereo separation vs HIGHEST on the synthesized broadcast.
-    precision = _precision()
-
     params = receiver.make_params(cfg)
     # BENCH_IQCORR=1: A/B the blind DC/IQ-imbalance tracker's cost
     # (estimator side pass + in-kernel correction epilogue)
@@ -169,7 +157,7 @@ def bench_chain() -> None:
     # outputs for validation
     st, outs = run(state, iq)
     np.asarray(outs[0][..., :1])   # real sync (see _fetch note below)
-    if os.environ.get("BENCH_VALIDATE", "1") != "0" and n_blocks >= 16:
+    if validate and n_blocks >= 16:
         _validate(cfg, outs, n_blocks)
 
     # Timing: through the axon tunnel jax.block_until_ready returns
@@ -185,33 +173,79 @@ def bench_chain() -> None:
 
     best = wall / repeats
     iq_samples = n_blocks * channels * cfg.iq_per_block  # complex samples
-    msps = iq_samples / best / 1e6
+    return iq_samples / best / 1e6
+
+
+def bench_chain() -> None:
+    radio_mode = int(os.environ.get("BENCH_RADIO_MODE", 0))
+    cfg = get_mode(radio_mode)
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    channels = int(os.environ.get("BENCH_CHANNELS", 512 if on_tpu else 2))
+    # 64 blocks = 1.7 s of stream per scan: measured saturation point of
+    # the dispatch-amortisation curve (32: 15.0-15.2, 48: 15.6, 64: 16.5,
+    # 96: 16.6 GS/s) and still a realistic serving batch
+    n_blocks = int(os.environ.get("BENCH_BLOCKS", 64 if on_tpu else 2))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
+    # DEFAULT (bf16-input matmul) is the production-serving configuration:
+    # benchmarks/precision_check.py measures bit-identical RDS symbols and
+    # equal stereo separation vs HIGHEST on the synthesized broadcast.
+    precision = _precision()
+    validate = os.environ.get("BENCH_VALIDATE", "1") != "0"
+
+    msps = _time_chain(radio_mode, channels, n_blocks, repeats, precision,
+                       validate)
     rt = msps * 1e6 / cfg.rf_fs  # x-real-time (stations decoded live)
-    print(json.dumps({
+    result = {
         "metric": f"mode{radio_mode}_full_chain_iq_throughput_per_chip",
         "value": round(msps, 3),
         "unit": "MS/s",
         "vs_baseline": round(rt, 2),
-    }))
+    }
+
+    # Scoreboard (VERDICT r4 item 2): the default driver run also
+    # captures per-mode points and a wideband pass so the non-default
+    # claims stop being builder-self-reported.  Serving geometry with
+    # fewer repeats (shorter scans measured -20..-35% low from
+    # unamortised dispatch, so they would not confirm anything); the
+    # graphs hit the persistent compile cache after the first run.
+    # BENCH_SCOREBOARD=0 disables (and non-default bench configs skip).
+    scoreboard = (on_tpu and radio_mode == 0
+                  and os.environ.get("BENCH_SCOREBOARD", "1") != "0"
+                  and "BENCH_CHANNELS" not in os.environ
+                  and "BENCH_BLOCKS" not in os.environ)
+    if scoreboard:
+        for m in (1, 2, 3):
+            try:
+                # repeats=4: 2 repeats measured 5-15% low (the fixed
+                # dispatch tail stops amortising); extra repeats cost
+                # device-milliseconds, the wall cost of the scoreboard
+                # is synthesis + executable reload per distinct graph
+                v = _time_chain(m, channels, n_blocks, 4, precision,
+                                validate)
+                result[f"mode{m}_ms_s"] = round(v, 1)
+            except Exception as e:  # noqa: BLE001 — extras never kill
+                result[f"mode{m}_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            wb_msps, bands_rt = _time_wideband(
+                c_bank=16, batch=32, n_steps=32, repeats=4,
+                precision=precision, validate=validate)
+            result["wideband_ms_s"] = round(wb_msps, 1)
+            result["wideband_bands_rt"] = round(bands_rt, 1)
+        except Exception as e:  # noqa: BLE001
+            result["wideband_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result))
 
 
-def bench_wideband() -> None:
-    """Channelizer front door: B wideband captures (C_bank stations
-    each) through `wideband_step` — filter bank + B*C_bank full
-    receivers in one jitted scan.  Self-validating like the chain
-    bench: stereo separation + RDS PI/PS on a probe station."""
+def _time_wideband(c_bank: int, batch: int, n_steps: int, repeats: int,
+                   precision, validate: bool) -> tuple[float, float]:
+    """Compile + time the channelizer front door; returns (wideband IQ
+    MS/s, whole FM bands decoded in real time)."""
     from dy4tpu.pipeline import wideband
     from dy4tpu.rds import coding
     from dy4tpu.tx import fm
 
     cfg = get_mode(0)
-    platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
-    c_bank = int(os.environ.get("BENCH_WB_CHANNELS", 16))
-    batch = int(os.environ.get("BENCH_WB_BATCH", 32 if on_tpu else 1))
-    n_steps = int(os.environ.get("BENCH_BLOCKS", 32 if on_tpu else 2))
-    repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
-    precision = _precision()
     station = min(3, c_bank - 1)
 
     n_audio = n_steps * cfg.audio_per_block
@@ -250,7 +284,7 @@ def bench_wideband() -> None:
 
     st, outs = run(state, blocks)
     np.asarray(outs[0][..., :1])
-    if os.environ.get("BENCH_VALIDATE", "1") != "0" and n_steps >= 16:
+    if validate and n_steps >= 16:
         # probe batch 0, the live station's channel: same bar as chain
         probe = tuple(o[:, 0, station:station + 1] for o in outs)
         _validate(cfg, probe, n_steps)
@@ -268,6 +302,22 @@ def bench_wideband() -> None:
     print(f"wideband: {batch} bands x {c_bank} ch x {n_steps} steps; "
           f"{msps:.0f} MS/s wideband IQ = {bands_rt:.1f} bands "
           f"({batch * c_bank} stations) live", file=sys.stderr)
+    return msps, bands_rt
+
+
+def bench_wideband() -> None:
+    """Channelizer front door: B wideband captures (C_bank stations
+    each) through `wideband_step` — filter bank + B*C_bank full
+    receivers in one jitted scan.  Self-validating like the chain
+    bench: stereo separation + RDS PI/PS on a probe station."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    c_bank = int(os.environ.get("BENCH_WB_CHANNELS", 16))
+    batch = int(os.environ.get("BENCH_WB_BATCH", 32 if on_tpu else 1))
+    n_steps = int(os.environ.get("BENCH_BLOCKS", 32 if on_tpu else 2))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
+    msps, bands_rt = _time_wideband(
+        c_bank, batch, n_steps, repeats, _precision(),
+        os.environ.get("BENCH_VALIDATE", "1") != "0")
     print(json.dumps({
         "metric": f"wideband_channelizer_{c_bank}ch_iq_throughput_per_chip",
         "value": round(msps, 3),

@@ -111,7 +111,9 @@ def fused_audio_backend(fm_delayed: Array, stereo_band: Array, nco: Array,
     mtail = rpad(mono_tail)
     stail = rpad(stereo_tail)
 
-    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    # 8 rows for f32 too: Mosaic rejects 4-row channel tiles; the f32
+    # scratch growth rides the raised VMEM limit below
+    bc_rows = _BC
     c_pad = -(-c // bc_rows) * bc_rows
     args = [fm_delayed, stereo_band, nco, mtail, stail]
     if c_pad != c:
@@ -133,6 +135,9 @@ def fused_audio_backend(fm_delayed: Array, stereo_band: Array, nco: Array,
         + [jax.ShapeDtypeStruct((c_pad, _T), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((bc_rows, w0 + n_in), mm_dtype),
                         pltpu.VMEM((bc_rows, m // _T, wlen), mm_dtype)],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20)
+            if mm_dtype == jnp.float32 else None),
         interpret=interpret,
     )(*args, ha)
     mono, left, right, mlast, slast = (o[:c] for o in outs)

@@ -371,7 +371,12 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
     hr = (hr.reshape(2, wlen // 4, 4, _T)
           .transpose(0, 2, 1, 3).reshape(2, wlen, _T).astype(mm_dtype))
 
-    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    # bc_rows stays 8 for f32 too: Mosaic requires channel-block rows
+    # divisible by 8 (a 4-row tile fails to lower), so the f32 variant
+    # keeps the tile and raises the scoped-VMEM limit instead (the 16 MB
+    # scope is a compiler default, not the hardware — round-4 probe ran
+    # 128 MB)
+    bc_rows = _BC
 
     tail_raw, prev = _raw_tail_prev(iq_tail, prev_i, prev_q, k, w0)
     tail_pm = jnp.transpose(tail_raw.reshape(c, w0 // 4, 4), (2, 0, 1))
@@ -411,6 +416,9 @@ def fused_frontend_raw_pm(iq_u8: Array, h: Array, iq_tail: Array,
             pltpu.VMEM((4, bc_rows, (w0 + bs) // 4), mm_dtype),
             pltpu.VMEM((bc_rows, n_out // _T, wlen), mm_dtype),
         ],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20)
+            if mm_dtype == jnp.float32 else None),
         interpret=interpret,
     )(sum_h.reshape(1, 1), x32, tail_pm, prev, hr)
     fm_t, last_t = fm[:c], last[:c]
@@ -439,11 +447,14 @@ def fused_frontend_raw(iq_u8: Array, h: Array, iq_tail: Array,
     n_iq = bs // 2
     n_out = n_iq // decim
     assert n_out % _T == 0, (n_out, _T)
-    # channel rows per grid cell: the f32 scratch (ext_s + pg_s + the pg
-    # reshape temp) exceeds the 16 MB scoped-VMEM limit at 8 rows, so
-    # halve the tile for f32 (HIGHEST-precision) runs
+    # channel rows per grid cell: always the full 8-row tile — Mosaic
+    # requires channel-block rows divisible by 8 (a 4-row tile fails to
+    # lower), so the f32 (HIGHEST) variant, whose scratch doubles, keeps
+    # the tile and raises the scoped-VMEM limit below instead
     if bc_rows is None:
-        bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+        bc_rows = _BC
+    if vmem_limit_bytes is None and mm_dtype != jnp.bfloat16:
+        vmem_limit_bytes = 64 << 20
     w0 = -(-2 * (k - 1) // _T) * _T      # history slab, lane-aligned
     stride = 2 * _T * decim
     assert w0 <= stride, (w0, stride)
@@ -751,7 +762,9 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
         ins += [hc, rpad(carrier_tail), rpad(rds_delay)]
         per_channel |= {base + 1, base + 2}
 
-    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    bc_rows = _BC     # 8 rows for f32 too (Mosaic rejects 4-row tiles;
+    #                   the f32 scratch growth is absorbed by the raised
+    #                   VMEM limit below)
     c_pad = -(-c // bc_rows) * bc_rows
     if c_pad != c:
         pc = c_pad - c
@@ -799,12 +812,12 @@ def fused_frontend_full(iq_u8: Array, h_rf: Array, h_bank: Array,
         scratch += [pltpu.VMEM((bc_rows, _T + n_out), mm_dtype),
                     pltpu.VMEM((bc_rows, _T + n_out), jnp.float32)]
 
-    # the f32 (HIGHEST) variant can sit slightly over the default 16 MB
-    # scoped-VMEM budget at some geometries (e.g. C=1 single-station
-    # runs); the limit is a compiler default, not the hardware (round-4
-    # probe ran 128 MB) — raise it modestly for f32 only so the bf16
-    # serving path keeps its measured pipelining
-    cparams = (pltpu.CompilerParams(vmem_limit_bytes=24 << 20)
+    # the f32 (HIGHEST) variant keeps the 8-row tile (Mosaic rejects
+    # 4-row tiles), so its scratch is 2x the bf16 one and exceeds the
+    # default 16 MB scoped-VMEM budget; the limit is a compiler default,
+    # not the hardware (round-4 probe ran 128 MB) — raise it for f32
+    # only so the bf16 serving path keeps its measured pipelining
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
                if mm_dtype == jnp.float32 else None)
     outs = pl.pallas_call(
         kern, grid=(c_pad // bc_rows,), in_specs=in_specs,
@@ -902,7 +915,7 @@ def fused_frontend_if(i_if: Array, q_if: Array, prev_i: Array,
         hc = (h_carrier[None, bidx] * jnp.asarray(bmask)).astype(mm_dtype)
         ins += [hc, rpad(carrier_tail), rpad(rds_delay)]
 
-    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    bc_rows = _BC     # 8 rows for f32 too (Mosaic rejects 4-row tiles)
     c_pad = -(-c // bc_rows) * bc_rows
     if c_pad != c:
         pc = c_pad - c
@@ -938,12 +951,12 @@ def fused_frontend_if(i_if: Array, q_if: Array, prev_i: Array,
         scratch += [pltpu.VMEM((bc_rows, _T + n_out), mm_dtype),
                     pltpu.VMEM((bc_rows, _T + n_out), jnp.float32)]
 
-    # the f32 (HIGHEST) variant can sit slightly over the default 16 MB
-    # scoped-VMEM budget at some geometries (e.g. C=1 single-station
-    # runs); the limit is a compiler default, not the hardware (round-4
-    # probe ran 128 MB) — raise it modestly for f32 only so the bf16
-    # serving path keeps its measured pipelining
-    cparams = (pltpu.CompilerParams(vmem_limit_bytes=24 << 20)
+    # the f32 (HIGHEST) variant keeps the 8-row tile (Mosaic rejects
+    # 4-row tiles), so its scratch is 2x the bf16 one and exceeds the
+    # default 16 MB scoped-VMEM budget; the limit is a compiler default,
+    # not the hardware (round-4 probe ran 128 MB) — raise it for f32
+    # only so the bf16 serving path keeps its measured pipelining
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
                if mm_dtype == jnp.float32 else None)
     outs = pl.pallas_call(
         kern, grid=(c_pad // bc_rows,), in_specs=in_specs,

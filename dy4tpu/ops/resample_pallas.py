@@ -57,6 +57,22 @@ Array = jax.Array
 
 _T = 128
 _BC = 8
+# bf16 serving default for the channel-tile M dim: measured sweep in
+# benchmarks/micro_rational.py (f32 keeps 8 — its doubled per-row
+# scratch + the HIGHEST-precision dot gain nothing from a bigger M)
+_BC_BF16 = 8
+
+
+def _resolve_bc(bc_rows, mm_dtype) -> int:
+    """Channel rows per grid cell: explicit arg > DY4TPU_RATIONAL_BC
+    env (A/B knob) > measured per-dtype default."""
+    if bc_rows is not None:
+        return bc_rows
+    import os
+    env = os.environ.get("DY4TPU_RATIONAL_BC")
+    if env:
+        return int(env)
+    return _BC if mm_dtype == jnp.float32 else _BC_BF16
 
 
 @functools.cache
@@ -156,11 +172,20 @@ def fused_audio_backend_rational(fm_delayed: Array, stereo_band: Array,
                                  mono_tail: Array, stereo_tail: Array,
                                  up: int, down: int, *,
                                  mm_dtype=jnp.bfloat16,
+                                 bc_rows: int | None = None,
                                  interpret: bool = False
                                  ) -> tuple[Array, Array, Array, Array,
                                             Array]:
     """U>1 twin of ``backend_pallas.fused_audio_backend``: returns
-    ``(mono, left, right, new_mono_tail, new_stereo_tail)``."""
+    ``(mono, left, right, new_mono_tail, new_stereo_tail)``.
+
+    ``bc_rows``: channel rows per grid cell = the M dim of every
+    per-tile dot (each 128-output tile has its OWN banded matrix, so
+    tiles cannot share one big dot the way the U=1 kernel's
+    tile-invariant plan does — more rows per cell is the only way to
+    feed the MXU a bigger M); default from ``DY4TPU_RATIONAL_BC`` else
+    8 for f32, 32 for bf16 (measured: benchmarks/micro_rational.py).
+    """
     c, n_in = fm_delayed.shape
     k = h_audio.shape[0]
     s_len = (k - 1) // up
@@ -173,7 +198,7 @@ def fused_audio_backend_rational(fm_delayed: Array, stereo_band: Array,
     rpad = lambda a: jnp.pad(a, ((0, 0), (_T - a.shape[-1], 0)))  # noqa: E731
     args = [fm_delayed, stereo_band, nco, rpad(mono_tail),
             rpad(stereo_tail)]
-    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    bc_rows = _resolve_bc(bc_rows, mm_dtype)
     c_pad = -(-c // bc_rows) * bc_rows
     if c_pad != c:
         args = [jnp.pad(a, ((0, c_pad - c), (0, 0))) for a in args]
@@ -191,6 +216,9 @@ def fused_audio_backend_rational(fm_delayed: Array, stereo_band: Array,
         out_shape=[jax.ShapeDtypeStruct((c_pad, out_len), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((c_pad, _T), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((bc_rows, ext_len), mm_dtype)],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20)
+            if (mm_dtype == jnp.float32 or bc_rows > _BC) else None),
         interpret=interpret,
     )(*args, mats)
     mono, left, right, mlast, slast = (o[:c] for o in outs)
@@ -246,6 +274,7 @@ def fused_rds_backend(rds_delayed: Array, nco_i: Array, nco_q: Array,
                       lpf_tail_i: Array, lpf_tail_q: Array,
                       rrc_tail_i: Array, rrc_tail_q: Array,
                       up: int, down: int, *, mm_dtype=jnp.bfloat16,
+                      bc_rows: int | None = None,
                       interpret: bool = False):
     """Returns ``(bb_i, bb_q, new_lpf_tail_i, new_lpf_tail_q,
     new_rrc_tail_i, new_rrc_tail_q)`` — value-matching the stock
@@ -273,7 +302,7 @@ def fused_rds_backend(rds_delayed: Array, nco_i: Array, nco_q: Array,
     rpad = lambda a: jnp.pad(a, ((0, 0), (_T - a.shape[-1], 0)))  # noqa: E731
     args = [rds_delayed, nco_i, nco_q, rpad(lpf_tail_i), rpad(lpf_tail_q),
             rpad(rrc_tail_i), rpad(rrc_tail_q)]
-    bc_rows = _BC if mm_dtype == jnp.bfloat16 else _BC // 2
+    bc_rows = _resolve_bc(bc_rows, mm_dtype)
     c_pad = -(-c // bc_rows) * bc_rows
     if c_pad != c:
         args = [jnp.pad(a, ((0, c_pad - c), (0, 0))) for a in args]
@@ -297,6 +326,9 @@ def fused_rds_backend(rds_delayed: Array, nco_i: Array, nco_q: Array,
             pltpu.VMEM((bc_rows, ext_len), mm_dtype),
             pltpu.VMEM((bc_rows, out_len), jnp.float32),
             pltpu.VMEM((bc_rows, ext2_len), mm_dtype)],
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20)
+            if (mm_dtype == jnp.float32 or bc_rows > _BC) else None),
         interpret=interpret,
     )(*args, mats, rrc_mat)
     bbi, bbq, llasti, llastq, rlasti, rlastq = (o[:c] for o in outs)

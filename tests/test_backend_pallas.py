@@ -116,8 +116,9 @@ def test_backend_fused_rejects_unsupported_geometry_loudly(monkeypatch):
                            nco, nco, nco, cfg, backend="fused")
 
 
+@pytest.mark.parametrize("bc", [None, 32])  # serving + big-M channel tile
 @pytest.mark.parametrize("mode", [2, 3])  # the U=147 polyphase modes
-def test_fused_audio_backend_rational_matches_stock(mode):
+def test_fused_audio_backend_rational_matches_stock(mode, bc):
     from dy4tpu.ops import resample_pallas
 
     cfg = get_mode(mode)
@@ -142,7 +143,7 @@ def test_fused_audio_backend_rational_matches_stock(mode):
     mono, left, right, nmt, nst = (
         resample_pallas.fused_audio_backend_rational(
             fmd, sb, nco, h, mt, st, u, d, mm_dtype=jnp.float32,
-            interpret=True))
+            bc_rows=bc, interpret=True))
     np.testing.assert_allclose(np.asarray(mono), np.asarray(y[..., 0, :]),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(left), np.asarray(l_r),
@@ -156,8 +157,9 @@ def test_fused_audio_backend_rational_matches_stock(mode):
                                   np.asarray(ntl[..., 1, :]))
 
 
+@pytest.mark.parametrize("bc", [None, 32])  # serving + big-M channel tile
 @pytest.mark.parametrize("mode", [0, 2])  # the RDS-capable modes
-def test_fused_rds_backend_matches_stock(mode):
+def test_fused_rds_backend_matches_stock(mode, bc):
     from dy4tpu.ops import resample_pallas
 
     cfg = get_mode(mode)
@@ -188,7 +190,7 @@ def test_fused_rds_backend_matches_stock(mode):
 
     bbi, bbq, nli, nlq, nri, nrq = resample_pallas.fused_rds_backend(
         rds, ni, nq, h, h2, lti, ltq, rti, rtq, u, d,
-        mm_dtype=jnp.float32, interpret=True)
+        mm_dtype=jnp.float32, bc_rows=bc, interpret=True)
     np.testing.assert_allclose(np.asarray(bbi), np.asarray(bb[..., 0, :]),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(bbq), np.asarray(bb[..., 1, :]),

@@ -153,3 +153,30 @@ def test_cli_rds_json_events(tmp_path):
     assert all(e["group"] == "0A" for e in events)
     # snapshots grow monotonically: early events omit unset fields
     assert "ps" not in events[0] or events[0]["groups_seen"] > 1
+
+
+def test_cli_mode2_peak_cdr_hint():
+    """VERDICT r4 item 6: `dy4tpu 2 r` with the default (reference-
+    parity) peak CDR must tell the user why RDS may barely decode and
+    which flag fixes it; the hint disappears once envelope timing is
+    selected (flag or env)."""
+    cfg = get_mode(2)
+    iq = fm.synthesize(cfg, 1)   # one block: the hint prints at startup
+    p = _run(["2", "r"], iq.tobytes())
+    assert p.returncode == 0, p.stderr.decode()
+    assert b"--cdr envelope" in p.stderr
+    p = _run(["2", "r", "--cdr", "envelope"], iq.tobytes())
+    assert p.returncode == 0, p.stderr.decode()
+    assert b"--cdr envelope" not in p.stderr
+    env = {**ENV, "DY4TPU_CDR": "envelope"}
+    p = subprocess.run([sys.executable, "-m", "dy4tpu", "2", "r"],
+                       input=iq.tobytes(), stdout=subprocess.PIPE,
+                       stderr=subprocess.PIPE, cwd=REPO, env=env,
+                       timeout=600)
+    assert p.returncode == 0, p.stderr.decode()
+    assert b"--cdr envelope" not in p.stderr
+    # mode 0 (SPS=16) keeps a clean startup: the hint is mode-2-specific
+    cfg0, iq0 = _capture(1, rds=True)
+    p = _run(["0", "r"], iq0.tobytes())
+    assert p.returncode == 0, p.stderr.decode()
+    assert b"--cdr envelope" not in p.stderr
