@@ -382,10 +382,14 @@ def bench_sharded() -> None:
     # thread it through the timing loop like a real stream would)
     mesh = make_mesh(ch=1, time=n_dev)
     # BENCH_REPLAY=replicated reverts to the pre-r3 replicated PLL/CDR
-    # replay for A/B against the channel-parallel (all_to_all) one
+    # replay for A/B against the channel-parallel (all_to_all) one;
+    # BENCH_OVERLAP=N forces whole-block halos (default: the round-5
+    # auto sub-block halo, exact_min_halo_if)
     chan_par = os.environ.get("BENCH_REPLAY", "chan") != "replicated"
+    ov = os.environ.get("BENCH_OVERLAP")
     rx = ShardedReceiver(cfg, mesh, shard_blocks=s_blocks,
-                         overlap_blocks=1, precision=precision,
+                         overlap_blocks=int(ov) if ov else None,
+                         precision=precision,
                          channel_parallel_replay=chan_par)
     carry = rx.init(channels)
     iq_sh = jax.device_put(iq, rx.input_sharding())

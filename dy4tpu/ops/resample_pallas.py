@@ -57,10 +57,13 @@ Array = jax.Array
 
 _T = 128
 _BC = 8
-# bf16 serving default for the channel-tile M dim: measured sweep in
-# benchmarks/micro_rational.py (f32 keeps 8 — its doubled per-row
-# scratch + the HIGHEST-precision dot gain nothing from a bigger M)
-_BC_BF16 = 8
+# bf16 serving default for the channel-tile M dim: every per-tile dot
+# runs at M = bc_rows (tiles cannot share one matrix), and M=8 leaves
+# the MXU pipeline-drain-bound.  Measured (benchmarks/micro_rational.py
+# + e2e A/B, round 5): mode-2 chain 13726 -> 14192 MS/s (+3.4%), mode-3
+# 13772 -> 14380 (+4.4%) at bc=32 vs 8; bc=64 gains nothing more.
+# f32 keeps 8 (doubled per-row scratch, HIGHEST-precision parity path).
+_BC_BF16 = 32
 
 
 def _resolve_bc(bc_rows, mm_dtype) -> int:
@@ -184,7 +187,7 @@ def fused_audio_backend_rational(fm_delayed: Array, stereo_band: Array,
     tiles cannot share one big dot the way the U=1 kernel's
     tile-invariant plan does — more rows per cell is the only way to
     feed the MXU a bigger M); default from ``DY4TPU_RATIONAL_BC`` else
-    8 for f32, 32 for bf16 (measured: benchmarks/micro_rational.py).
+    8 for f32, 32 for bf16 (measured e2e: mode 2 +3.4%, mode 3 +4.4%).
     """
     c, n_in = fm_delayed.shape
     k = h_audio.shape[0]

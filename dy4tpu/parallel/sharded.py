@@ -43,6 +43,7 @@ sign codes.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import numpy as np
@@ -96,6 +97,55 @@ class ExactCarry(NamedTuple):
     #                                 first step (reference nco_q=1 quirk)
 
 
+def exact_min_halo_if(cfg: ModeConfig) -> int:
+    """Minimal sub-block warm-up length (IF samples) that heals every
+    LTI state exactly (VERDICT r4 item 3).
+
+    Every carried LTI state is a trailing *stream-value window* (SURVEY
+    §2.4; src/project.cpp:240-251 keeps the same invariant) — no IIR
+    accumulators — so a warm-up only needs to cover the deepest chain of
+    window dependencies, not a whole block:
+
+      rrc_tail <- (rrc_taps-1) RDS samples of the resampled stream, each
+      needing (rds_taps-1)/U_rds IF samples of the mixed stream, which
+      is the fm stream delayed by (num_taps-1)/2; the carrier chain is
+      two cascaded (num_taps-1) windows (band BPF -> squaring -> carrier
+      BPF); fm itself reaches ceil((num_taps-1)/decim)+2 IF back through
+      the RF FIR + differentiator.
+
+    The result is rounded UP to the per-mode alignment LCM so the
+    warm-up mini block satisfies every kernel's geometry: 128-lane
+    output tiles for the fused front end, n % 128*D for the U=1 fused
+    audio back end, integer output counts for the rational audio/RDS
+    resamplers.  Mode 0: 1920 IF = 1/4 block (the one-block halo's
+    O/(S+O) = 20% warm-up recompute at S=4 drops to ~6%).
+    """
+    d = cfg.rf_decim
+    kb = cfg.num_taps
+    delay = (kb - 1) // 2
+    fm_depth = -(-(kb - 1) // d) + 2
+    need = max((cfg.audio_taps - 1) // cfg.audio_up + delay,
+               2 * (kb - 1))
+    if cfg.supports_rds:
+        rrc_if = -(-(cfg.rds_rrc_taps - 1) * cfg.rds_down // cfg.rds_up)
+        need = max(need,
+                   rrc_if + (cfg.rds_taps - 1) // cfg.rds_up + delay)
+    need += fm_depth + 8      # stale prev_i/prev_q + slack
+    lcm = 128                 # fused front end: n_out % 128
+    if cfg.audio_up == 1:
+        lcm = math.lcm(lcm, 128 * cfg.audio_down)   # U=1 fused back end
+    else:
+        lcm = math.lcm(lcm, cfg.audio_down
+                       // math.gcd(cfg.audio_up, cfg.audio_down))
+    if cfg.supports_rds:
+        lcm = math.lcm(lcm, cfg.rds_down
+                       // math.gcd(cfg.rds_up, cfg.rds_down))
+    halo_if = -(-need // lcm) * lcm
+    if halo_if >= cfg.if_per_block:     # degenerate geometry: block halo
+        halo_if = -(-halo_if // cfg.if_per_block) * cfg.if_per_block
+    return halo_if
+
+
 class ShardedReceiver:
     """Receiver over a ``(ch, time)`` mesh.
 
@@ -105,10 +155,17 @@ class ShardedReceiver:
     """
 
     def __init__(self, cfg: ModeConfig, mesh: Mesh, *,
-                 shard_blocks: int = 4, overlap_blocks: int = 1,
+                 shard_blocks: int = 4,
+                 overlap_blocks: int | None = None,
                  stereo: bool = True, exact: bool = True,
                  precision=lax.Precision.HIGHEST,
                  channel_parallel_replay: bool = True):
+        """``overlap_blocks``: warm-up halo size.  ``None`` (default) in
+        exact mode picks the minimal sub-block halo
+        (``exact_min_halo_if`` — e.g. 1/4 block for mode 0, cutting the
+        O/(S+O) warm-up recompute from 20% to ~6% at S=4); an int keeps
+        whole-block halos (the pre-round-5 behaviour, and the only
+        option for the legacy convergent mode, default 1)."""
         if TIME_AXIS not in mesh.shape or CH_AXIS not in mesh.shape:
             raise ValueError(f"mesh must have axes ({CH_AXIS},{TIME_AXIS})")
         self.cfg = cfg
@@ -116,17 +173,27 @@ class ShardedReceiver:
         self.t_shards = mesh.shape[TIME_AXIS]
         self.ch_shards = mesh.shape[CH_AXIS]
         self.shard_blocks = shard_blocks
-        self.overlap_blocks = overlap_blocks
         self.stereo = stereo
         self.exact = exact
         self.precision = precision
         self.channel_parallel_replay = channel_parallel_replay
-        self.halo_len = overlap_blocks * cfg.block_size
+        if exact:
+            self.halo_if = (exact_min_halo_if(cfg)
+                            if overlap_blocks is None
+                            else overlap_blocks * cfg.if_per_block)
+            self.halo_len = self.halo_if * 2 * cfg.rf_decim
+        else:
+            if overlap_blocks is None:
+                overlap_blocks = 1
+            self.halo_if = overlap_blocks * cfg.if_per_block
+            self.halo_len = overlap_blocks * cfg.block_size
+        self.overlap_blocks = overlap_blocks
         self.chunk_len = self.t_shards * shard_blocks * cfg.block_size
         self.pll_lanes = 2 if cfg.supports_rds else 1
-        if exact and self.t_shards * shard_blocks < overlap_blocks:
-            raise ValueError("exact mode needs T*shard_blocks >= "
-                             "overlap_blocks (prev-codes carry)")
+        if exact and self.t_shards * shard_blocks * cfg.if_per_block \
+                < self.halo_if:
+            raise ValueError("exact mode needs T*shard_blocks blocks >= "
+                             "halo (prev-codes carry)")
         self._step = self._build_exact() if exact else self._build()
 
     # ---- public API ----
@@ -166,7 +233,7 @@ class ShardedReceiver:
                 found=np.zeros((channels,), bool))
             cdr = jax.device_put(cdr, cspec)
         prev_codes = jax.device_put(
-            np.full((channels, L, self.overlap_blocks * cfg.if_per_block),
+            np.full((channels, L, self.halo_if),
                     pll.CODE_INVALID, np.int8),
             NamedSharding(self.mesh, P(CH_AXIS, None, None)))
         return ExactCarry(
@@ -292,10 +359,10 @@ class ShardedReceiver:
         cfg = self.cfg
         t_shards = self.t_shards
         s_blocks = self.shard_blocks
-        o_blocks = self.overlap_blocks
         bs = cfg.block_size
         n_if = cfg.if_per_block
-        halo = self.halo_len
+        halo = self.halo_len          # raw u8 samples (= halo_if * 2 * D)
+        halo_if = self.halo_if
         stereo = self.stereo
         precision = self.precision
         rds_on = cfg.supports_rds
@@ -333,7 +400,8 @@ class ShardedReceiver:
             t_idx = lax.axis_index(TIME_AXIS)
 
             # raw-IQ halo from the left time-neighbour (shard 0: carried
-            # global tail) — heals every front-state input window
+            # global tail) — a sub-block mini warm-up (halo_if IF
+            # samples) that heals every front/back state window
             if t_shards > 1:
                 nbr = lax.ppermute(iq[..., -halo:], TIME_AXIS,
                                    perm=[(i, i + 1)
@@ -341,30 +409,42 @@ class ShardedReceiver:
                 left = jnp.where(t_idx == 0, prev_tail, nbr)
             else:
                 left = prev_tail
-            ext = jnp.concatenate([left, iq], axis=-1)
-            blocks = ext.reshape((*ext.shape[:-1], o_blocks + s_blocks, bs))
-            blocks = jnp.moveaxis(blocks, -2, 0)   # [O+S, C_l, bs]
+            mini = left                             # [C_l, halo] u8
+            blocks = iq.reshape((*iq.shape[:-1], s_blocks, bs))
+            blocks = jnp.moveaxis(blocks, -2, 0)    # [S, C_l, bs]
 
             # ---- stage 1: LTI front half, time-parallel ----
+            # mini warm-up first, then the S real blocks; every output
+            # of the mini is discarded — only the healed states flow on.
+            # The mini runs as a LENGTH-1 SCAN of the same body so XLA
+            # compiles it as a loop body like the real blocks — a
+            # straight call fuses with its consumers and drifts the
+            # healed states by 1 ulp (measured on CPU), breaking the
+            # bit-exactness bar.
             def fbody(st, blk):
                 st, fo = receiver.front_step(params, st, blk, cfg,
                                              precision=precision,
                                              rds_enabled=rds_on)
                 return st, fo
 
-            new_front, fos = lax.scan(fbody, front, blocks)
+            front_mini, fo_mini = lax.scan(fbody, front, mini[None])
+            fo_mini = jax.tree.map(
+                lambda a: None if a is None else a[0], fo_mini,
+                is_leaf=lambda a: a is None)
+
+            new_front, fos = lax.scan(fbody, front_mini, blocks)
 
             # ---- stage 2: global PLL over gathered sign codes ----
             def to_stream(x):                       # [S, C_l, N] -> [C_l, S*N]
                 x = jnp.moveaxis(x, 0, -2)
                 return x.reshape((*x.shape[:-2], -1))
 
-            lanes = [fos.pilot[o_blocks:]]
+            lanes = [fos.pilot]
             if rds_on:
-                lanes.append(fos.carrier[o_blocks:])
+                lanes.append(fos.carrier)
             codes_local = jnp.stack(
                 [to_stream(pll.encode_sign(v)) for v in lanes], axis=-2)
-            span = (o_blocks + s_blocks) * n_if
+            span = halo_if + s_blocks * n_if
             c_l = codes_local.shape[0]
             # The phase replay is a sequential recurrence over time but
             # embarrassingly parallel over channels: instead of every
@@ -372,25 +452,38 @@ class ShardedReceiver:
             # (replicated serial fraction — the 1-device tax VERDICT r2
             # item 4 measured at 0.276), re-shard the replay over the
             # time axis BY CHANNEL with one all_to_all each way.  Each
-            # shard replays C_l/T channels over the full chunk — the
+            # shard replays ~C_l/T channels over the full chunk — the
             # serial fraction divides by T — then the per-shard phase
             # spans are redistributed back.  Per-channel float ops are
-            # unchanged, so outputs stay bit-exact.
-            chan_par = (self.channel_parallel_replay and t_shards > 1
-                        and c_l % t_shards == 0 and o_blocks <= s_blocks)
+            # unchanged, so outputs stay bit-exact.  Channel counts that
+            # do not divide T are padded with CODE_INVALID lanes (the
+            # replay freezes on invalid codes, so pad rows are inert) —
+            # the round-4 C_l % T == 0 restriction is gone.
+            chan_par = self.channel_parallel_replay and t_shards > 1
             if chan_par:
-                cg = c_l // t_shards
+                cg = -(-c_l // t_shards)
+                cp = cg * t_shards - c_l
+                pad_c = lambda x, v: (x if cp == 0 else jnp.pad(  # noqa: E731
+                    x, ((0, cp),) + ((0, 0),) * (x.ndim - 1),
+                    constant_values=v))
+                # channel axis 1 (bb [S, C_l, 2, M]) for the CDR replay
+                pad_c4 = lambda x, cp_: (x if cp_ == 0 else jnp.pad(  # noqa: E731
+                    x, ((0, 0), (0, cp_)) + ((0, 0),) * (x.ndim - 2)))
+                codes_p = pad_c(codes_local, pll.CODE_INVALID)
                 grp = lambda x: lax.dynamic_slice_in_dim(  # noqa: E731
                     x, t_idx * cg, cg, axis=0)
                 codes_grp = lax.all_to_all(
-                    codes_local, TIME_AXIS, split_axis=0, concat_axis=2,
+                    codes_p, TIME_AXIS, split_axis=0, concat_axis=2,
                     tiled=True)                     # [cg, L, T*S*N]
-                codes_all = jnp.concatenate([grp(prev_codes), codes_grp],
-                                            axis=-1)
-                # carry_mid = state O blocks before the NEXT chunk's
-                # start — where the next call's scan must resume
+                codes_all = jnp.concatenate(
+                    [grp(pad_c(prev_codes, pll.CODE_INVALID)), codes_grp],
+                    axis=-1)
+                # carry_mid = state halo_if samples before the NEXT
+                # chunk's start — where the next call's scan must resume
                 phis_g, carry_mid_g, _ = pll.phase_scan_coded(
-                    codes_all, (grp(integ), grp(pe), grp(ang)),
+                    codes_all,
+                    (grp(pad_c(integ, 0)), grp(pad_c(pe, 0)),
+                     grp(pad_c(ang, 0))),
                     freq=freq, fs=cfg.if_fs, norm_bandwidth=bw,
                     split_at=t_shards * s_blocks * n_if)
                 spans = jnp.stack(
@@ -399,13 +492,13 @@ class ShardedReceiver:
                      for j in range(t_shards)], axis=0)  # [T, cg, L, span]
                 phis_sh = lax.all_to_all(
                     spans, TIME_AXIS, split_axis=0, concat_axis=1,
-                    tiled=True)[0]                  # [C_l, L, span]
+                    tiled=True)[0][:c_l]            # [C_l, L, span]
                 carry_mid = tuple(
-                    lax.all_gather(c, TIME_AXIS, axis=0, tiled=True)
+                    lax.all_gather(c, TIME_AXIS, axis=0, tiled=True)[:c_l]
                     for c in carry_mid_g)
-                # chunk tail codes (last O blocks) live on the last time
-                # shard (o_blocks <= s_blocks): broadcast via masked psum
-                tail = codes_local[..., -o_blocks * n_if:].astype(jnp.int32)
+                # chunk tail codes (last halo_if samples) live on the
+                # last time shard (halo_if <= S*N): masked-psum broadcast
+                tail = codes_local[..., -halo_if:].astype(jnp.int32)
                 new_prev_codes = lax.psum(
                     jnp.where(t_idx == t_shards - 1, tail, 0),
                     TIME_AXIS).astype(jnp.int8)
@@ -423,7 +516,7 @@ class ShardedReceiver:
                 phis_sh = lax.dynamic_slice_in_dim(phis, start, span,
                                                    axis=-1)
                 new_prev_codes = codes_chunk[
-                    ..., (t_shards * s_blocks - o_blocks) * n_if:]
+                    ..., t_shards * s_blocks * n_if - halo_if:]
 
             # NCO synthesis — identical float ops to pll() (scale mult +
             # phase_adjust 0.0 add, same trig.nco_sincos kernel), so
@@ -437,19 +530,25 @@ class ShardedReceiver:
                 nco_q, nco_i = trig.nco_sincos(arg)
                 # reference quirk: the stream's first quadrature NCO sample
                 # is the init value 1.0 (fmMonoBlock.py:441)
-                pos = ((t_idx * s_blocks - o_blocks) * n_if
+                pos = (t_idx * s_blocks * n_if - halo_if
                        + jnp.arange(span, dtype=jnp.int32))
                 nco_q = jnp.where((~started) & (pos == 0), f32(1.0), nco_q)
             else:
                 nco_i = nco_q = None
 
-            def to_blocks(x):
+            def split_mini(x):      # [C_l, span] -> mini [C_l, halo_if]
+                return None if x is None else x[..., :halo_if]
+
+            def to_blocks(x):       # real region -> [S, C_l, N]
                 if x is None:
                     return None
-                x = x.reshape((*x.shape[:-1], o_blocks + s_blocks, n_if))
-                return jnp.moveaxis(x, -2, 0)       # [O+S, C_l, N]
+                x = x[..., halo_if:]
+                x = x.reshape((*x.shape[:-1], s_blocks, n_if))
+                return jnp.moveaxis(x, -2, 0)
 
             # ---- stage 3: NCO-mixed back half, time-parallel ----
+            # mini warm-up heals the audio/RDS resampler + RRC tails
+            # (length-1 scan for the same bit-exactness reason as above)
             def bbody(st, inp):
                 fo, nk, nik, nqk = inp
                 st, bo = receiver.back_step(params, st, fo, nk, nik, nqk,
@@ -457,18 +556,25 @@ class ShardedReceiver:
                                             rds_enabled=rds_on)
                 return st, bo
 
-            new_back, bos = lax.scan(
+            lead = lambda a: None if a is None else a[None]  # noqa: E731
+            back_mini, _ = lax.scan(
                 bbody, back,
+                (jax.tree.map(lead, fo_mini,
+                              is_leaf=lambda a: a is None),
+                 lead(split_mini(nco)), lead(split_mini(nco_i)),
+                 lead(split_mini(nco_q))))
+
+            new_back, bos = lax.scan(
+                bbody, back_mini,
                 (fos, to_blocks(nco), to_blocks(nco_i), to_blocks(nco_q)))
 
             def flatten_blocks(x):                  # [S, C_l, n] -> [C_l, S*n]
                 x = jnp.moveaxis(x, 0, -2)
                 return x.reshape((*x.shape[:-2], -1))
 
-            keep = lambda x: flatten_blocks(x[o_blocks:])  # noqa: E731
-            mono = keep(bos.mono)
-            leftch = keep(bos.left)
-            rightch = keep(bos.right)
+            mono = flatten_blocks(bos.mono)
+            leftch = flatten_blocks(bos.left)
+            rightch = flatten_blocks(bos.right)
             if stereo:
                 pcm = mixops.quantize_s16(mixops.interleave(leftch,
                                                             rightch))
@@ -477,7 +583,7 @@ class ShardedReceiver:
 
             # ---- stage 4: global CDR, channel-parallel like the PLL ----
             if rds_on:
-                bb = jnp.stack([bos.bb_i, bos.bb_q], axis=-2)[o_blocks:]
+                bb = jnp.stack([bos.bb_i, bos.bb_q], axis=-2)
 
                 def cbody(cst, bbk):
                     _si, _sq, symbols, resync, cst2 = receiver._cdr(
@@ -486,16 +592,17 @@ class ShardedReceiver:
 
                 if chan_par:
                     bb_grp = lax.all_to_all(
-                        bb, TIME_AXIS, split_axis=1, concat_axis=0,
-                        tiled=True)                 # [T*S, cg, 2, M]
+                        pad_c4(bb, cp), TIME_AXIS, split_axis=1,
+                        concat_axis=0, tiled=True)  # [T*S, cg, 2, M]
                     cdr_grp = jax.tree.map(
                         lambda a: lax.dynamic_slice_in_dim(
-                            a, t_idx * cg, cg, axis=0), cdr)
+                            pad_c(a, 0), t_idx * cg, cg, axis=0), cdr)
                     new_cdr_g, (sym_all, res_all, off_all) = lax.scan(
                         cbody, cdr_grp, bb_grp)
                     new_cdr = jax.tree.map(
                         lambda a: lax.all_gather(a, TIME_AXIS, axis=0,
-                                                 tiled=True), new_cdr_g)
+                                                 tiled=True)[:c_l],
+                        new_cdr_g)
 
                     def redisperse(x):  # [T*S, cg, ...] -> [S, C_l, ...]
                         xs = jnp.stack(
@@ -504,7 +611,7 @@ class ShardedReceiver:
                              for j in range(t_shards)], axis=0)
                         return lax.all_to_all(
                             xs, TIME_AXIS, split_axis=0, concat_axis=2,
-                            tiled=True)[0]
+                            tiled=True)[0][:, :c_l]
                     syms = flatten_blocks(redisperse(sym_all))
                     resync = jnp.moveaxis(redisperse(res_all), 0, -1)
                     offset = jnp.moveaxis(redisperse(off_all), 0, -1)

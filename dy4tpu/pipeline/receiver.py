@@ -229,8 +229,12 @@ def front_step(params: ReceiverParams, fstate: FrontState, iq_u8: Array,
     (tests/test_golden_chain.py).  With "arctan" the RFState.prev_i slot
     carries the previous block's phase and prev_q the last Q sample.
     """
-    bs = cfg.block_size
-    assert iq_u8.shape[-1] == bs, (iq_u8.shape, bs)
+    bs = iq_u8.shape[-1]
+    # normally one block; the exact time-sharded receiver also feeds
+    # sub-block warm-up minis (parallel/sharded.py exact_min_halo_if) —
+    # any length whose IF output is 128-lane aligned is legal here
+    assert bs == cfg.block_size or (
+        bs % (2 * cfg.rf_decim * 128) == 0), (iq_u8.shape, cfg.block_size)
     if demod_kind == "arctan":
         if frontend not in ("auto", "stock"):
             raise ValueError("demod_kind='arctan' requires the stock "

@@ -266,3 +266,94 @@ def test_sharded_channel_parallel_replay_exact(mode0_stream):
                                   seq_stream(seq.rds_offset[..., None]))
     np.testing.assert_array_equal(cat("rds_resync"),
                                   seq_stream(seq.rds_resync[..., None]))
+
+
+def test_sharded_subblock_halo_exact(mode0_stream):
+    """Round-5 sub-block halo (VERDICT r4 item 3): the default
+    overlap_blocks=None picks the minimal IF-aligned warm-up
+    (exact_min_halo_if = 1/4 block for mode 0, vs the old whole-block
+    halo) and every output must STILL be bit-equal to the sequential
+    scan — states heal through the mini because each is a trailing
+    stream-value window shallower than the mini."""
+    from dy4tpu.parallel.sharded import exact_min_halo_if
+
+    cfg, n_blocks, _ = mode0_stream
+    assert exact_min_halo_if(cfg) * 4 == cfg.if_per_block  # 1/4 block
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, 2000).astype(np.int8)
+    n_audio = n_blocks * cfg.audio_per_block
+    iq = fm.synthesize(cfg, n_blocks,
+                       left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.6),
+                       right=fm.tone(2400.0, cfg.audio_fs, n_audio,
+                                     amp=0.6),
+                       rds_bits=bits)
+    mesh = make_mesh(ch=1, time=4)
+    rx = ShardedReceiver(cfg, mesh, shard_blocks=1)   # overlap=None: auto
+    assert rx.halo_if == cfg.if_per_block // 4
+    params = receiver.make_params(cfg)
+    carry = rx.init(1)
+    outs = []
+    for half in range(2):   # step boundary exercises the short carries
+        chunk = iq[None, half * rx.chunk_len:(half + 1) * rx.chunk_len]
+        carry, out = rx.step(params, carry,
+                             jax.device_put(jnp.asarray(chunk),
+                                            rx.input_sharding()))
+        outs.append(jax.tree.map(np.asarray, out))
+    seq = _sequential(cfg, iq, n_blocks)
+    cat = lambda f: np.concatenate([getattr(o, f) for o in outs], -1)[0]  # noqa: E731
+    np.testing.assert_array_equal(cat("mono"),
+                                  np.asarray(seq.mono).ravel())
+    np.testing.assert_array_equal(cat("left"),
+                                  np.asarray(seq.left).ravel())
+    np.testing.assert_array_equal(cat("rds_symbols"),
+                                  np.asarray(seq.rds_symbols).ravel())
+    np.testing.assert_array_equal(cat("rds_offset"),
+                                  np.asarray(seq.rds_offset).ravel())
+    np.testing.assert_array_equal(cat("rds_resync"),
+                                  np.asarray(seq.rds_resync).ravel())
+
+
+def test_sharded_chanpar_nondivisible_channels(mode0_stream):
+    """Round-5: the channel-parallel replay no longer needs
+    C_local % T == 0 — odd channel counts are padded with CODE_INVALID
+    lanes (inert under the replay's freeze) and stay bit-exact."""
+    cfg, n_blocks, _ = mode0_stream
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, 2000).astype(np.int8)
+    n_audio = n_blocks * cfg.audio_per_block
+    iq = fm.synthesize(cfg, n_blocks,
+                       left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.6),
+                       right=fm.tone(2400.0, cfg.audio_fs, n_audio,
+                                     amp=0.6),
+                       rds_bits=bits)
+    mesh = make_mesh(ch=1, time=4)
+    rx = ShardedReceiver(cfg, mesh, shard_blocks=1, overlap_blocks=1)
+    channels = 6   # 6 % 4 != 0 -> padded channel-parallel path
+    params = receiver.make_params(cfg)
+    carry = rx.init(channels)
+    iq2 = np.broadcast_to(iq, (channels, len(iq))).copy()
+    outs = []
+    for half in range(2):
+        chunk = iq2[:, half * rx.chunk_len:(half + 1) * rx.chunk_len]
+        carry, out = rx.step(params, carry,
+                             jax.device_put(jnp.asarray(chunk),
+                                            rx.input_sharding()))
+        outs.append(jax.tree.map(np.asarray, out))
+    cat = lambda f: np.concatenate([getattr(o, f) for o in outs], -1)  # noqa: E731
+
+    state = receiver.init_state(cfg, batch=(channels,))
+    blocks = jnp.broadcast_to(
+        jnp.asarray(iq.reshape(n_blocks, cfg.block_size))[:, None, :],
+        (n_blocks, channels, cfg.block_size))
+    _, seq = jax.jit(
+        lambda s, b: receiver.run_blocks(params, s, b, cfg))(state, blocks)
+
+    def seq_stream(x):
+        x = np.asarray(x)
+        return np.moveaxis(x, 0, -2).reshape(channels, -1)
+
+    np.testing.assert_array_equal(cat("mono"), seq_stream(seq.mono))
+    np.testing.assert_array_equal(cat("rds_symbols"),
+                                  seq_stream(seq.rds_symbols))
+    np.testing.assert_array_equal(cat("rds_offset"),
+                                  seq_stream(seq.rds_offset[..., None]))
