@@ -235,6 +235,73 @@ def apply(i: Array, q: Array, c: IQCorrCoeffs, *,
     return i_c, q_c
 
 
+def channel_affine(c: IQCorrCoeffs):
+    """The correction as an R-linear map on the complex stream — the
+    form that commutes through a real-coefficient filter bank (the
+    wideband pre-bank corrector, VERDICT r4 item 4).
+
+    ``apply`` in complex form: with w = i + jq observed,
+
+        z_c = Re(w)(1 - j s rho) + j s Im(w) - kappa
+            = alpha w + beta conj(w) - kappa,
+        alpha = (1 + s - j s rho)/2,
+        beta  = (1 - s - j s rho)/2,
+        kappa = dc_i (1 - j s rho) + j s dc_q
+
+    Because every channelizer branch filter is real and the DFT maps
+    conj(input) to the conjugate MIRROR channel
+    (``y_c(conj z) = conj(y_{(-c) mod C}(z))``), correcting the wideband
+    stream BEFORE the bank equals, exactly and linearly,
+
+        y'_c = alpha y_c + beta conj(y_{(-c) mod C}) - kappa g_dc[c]
+
+    AFTER the bank (``g_dc`` = the bank's DC response per channel,
+    ``channelizer.dc_response``) — so the fused u8 bank kernel stays
+    untouched and the correction costs O(C x n_if) elementwise instead
+    of a raw-rate pass.  Returns planar components
+    ``(a_r, a_i, b_r, b_i, k_r, k_i)``, batch-shaped like the coeffs.
+    """
+    a_r = (1.0 + c.s) * 0.5
+    b_r = (1.0 - c.s) * 0.5
+    ab_i = -0.5 * c.s * c.rho
+    k_r = c.dc_i
+    k_i = c.s * (c.dc_q - c.dc_i * c.rho)
+    return a_r, ab_i, b_r, ab_i, k_r, k_i
+
+
+def apply_channelized(y_i: Array, y_q: Array, c: IQCorrCoeffs,
+                      g_r: Array, g_i: Array) -> tuple[Array, Array]:
+    """Apply the pre-bank correction in the channel domain (see
+    ``channel_affine``).  ``y_i``/``y_q``: [..., C, M] channelized
+    streams; coeffs batch-shaped [...]; ``g_r``/``g_i``: [C] bank DC
+    response.  Exactly equals correcting the wideband stream before the
+    bank (steady state; pinned in tests/test_wideband_iqcorr.py)."""
+    a_r, a_i, b_r, b_i, k_r, k_i = (
+        x[..., None, None] for x in channel_affine(c))
+    mirror = (-jnp.arange(y_i.shape[-2])) % y_i.shape[-2]
+    ym_i = jnp.take(y_i, mirror, axis=-2)
+    ym_q = -jnp.take(y_q, mirror, axis=-2)          # conj
+    out_i = (a_r * y_i - a_i * y_q + b_r * ym_i - b_i * ym_q
+             - (k_r * g_r - k_i * g_i)[..., :, None])
+    out_q = (a_r * y_q + a_i * y_i + b_r * ym_q + b_i * ym_i
+             - (k_r * g_i + k_i * g_r)[..., :, None])
+    return out_i, out_q
+
+
+def wideband_moments(wb_u8: Array, stride: int = 16) -> Array:
+    """Conic-fit moments of the raw interleaved wideband u8 stream,
+    SUBSAMPLED by ``stride`` complex samples.  Unlike the narrowband
+    constant-modulus case, the wideband sum of many stations is
+    near-circular-Gaussian — its impaired covariance is exactly
+    ``W W^T sigma^2`` and the shape readout is scale-free, so a strided
+    subsample only adds variance the EMA smooths (measured fit accuracy
+    in tests/test_wideband_iqcorr.py); the stride keeps the estimator
+    O(n/stride) next to the fused u8 bank."""
+    i = (wb_u8[..., 0::2 * stride].astype(jnp.float32) - 128.0) / 128.0
+    q = (wb_u8[..., 1::2 * stride].astype(jnp.float32) - 128.0) / 128.0
+    return moments(i, q)
+
+
 def image_rejection_db(gain: float, phase_deg: float) -> float:
     """IRR of the impairment model (test/diagnostic helper)."""
     e = gain * np.exp(1j * np.deg2rad(phase_deg))

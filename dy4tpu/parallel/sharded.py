@@ -203,7 +203,17 @@ class ShardedReceiver:
             raise ValueError(f"channels {channels} not divisible by "
                              f"ch axis {self.ch_shards}")
         self.channels = channels
-        prev_tail = jax.device_put(
+        # 1x1 mesh: keep everything UNplaced — mesh-sharding annotations
+        # on a single-device computation measured +~25 ms/step at the
+        # C=256 S=8 point (every carry leaf re-committed to the mesh
+        # each iteration); the bare-jit path compiles the same math at
+        # 20 ms (benchmarks/micro_sharded.py bisect, round 5)
+        if self.t_shards * self.ch_shards == 1:
+            dev = jax.devices()[0]
+            put_sharded = lambda a, s: jax.device_put(a, dev)  # noqa: E731
+        else:
+            put_sharded = jax.device_put
+        prev_tail = put_sharded(
             np.full((channels, self.halo_len), 128, np.uint8),
             NamedSharding(self.mesh, P(CH_AXIS, None)))
         if not self.exact:
@@ -212,7 +222,8 @@ class ShardedReceiver:
             # distinct host buffers per leaf: equal on-device constants can
             # be deduped into one buffer, which breaks donation in step()
             state = jax.tree.map(lambda a: np.array(a), state)
-            state = jax.device_put(state, self._sharding_for_state())
+            state = jax.tree.map(put_sharded, state,
+                                 self._sharding_for_state())
             return ShardedCarry(state=state, prev_tail=prev_tail)
 
         cfg = self.cfg
@@ -222,8 +233,8 @@ class ShardedReceiver:
         tspec = NamedSharding(self.mesh, P(TIME_AXIS, CH_AXIS))
         cspec = NamedSharding(self.mesh, P(CH_AXIS))
         rspec = NamedSharding(self.mesh, P())
-        put = lambda t, s: jax.device_put(              # noqa: E731
-            jax.tree.map(lambda a: np.array(a), t), s)
+        put = lambda t, s: jax.tree.map(                # noqa: E731
+            put_sharded, jax.tree.map(lambda a: np.array(a), t), s)
         L = self.pll_lanes
         zlc = np.zeros((channels, L), np.float32)
         cdr = None
@@ -231,19 +242,19 @@ class ShardedReceiver:
             cdr = receiver.CDRState(
                 offset=np.zeros((channels,), np.int32),
                 found=np.zeros((channels,), bool))
-            cdr = jax.device_put(cdr, cspec)
-        prev_codes = jax.device_put(
+            cdr = jax.tree.map(lambda a: put_sharded(a, cspec), cdr)
+        prev_codes = put_sharded(
             np.full((channels, L, self.halo_if),
                     pll.CODE_INVALID, np.int8),
             NamedSharding(self.mesh, P(CH_AXIS, None, None)))
         return ExactCarry(
             front=put(front, jax.tree.map(lambda _: tspec, front)),
             back=put(back, jax.tree.map(lambda _: tspec, back)),
-            pll_integ=jax.device_put(zlc.copy(), cspec),
-            pll_phase=jax.device_put(zlc.copy(), cspec),
-            pll_angle=jax.device_put(zlc.copy(), cspec),
+            pll_integ=put_sharded(zlc.copy(), cspec),
+            pll_phase=put_sharded(zlc.copy(), cspec),
+            pll_angle=put_sharded(zlc.copy(), cspec),
             cdr=cdr, prev_tail=prev_tail, prev_codes=prev_codes,
-            started=jax.device_put(np.zeros((), bool), rspec))
+            started=put_sharded(np.zeros((), bool), rspec))
 
     def step(self, params: receiver.ReceiverParams, carry,
              iq_u8: Array) -> tuple["ShardedCarry | ExactCarry",
@@ -252,7 +263,9 @@ class ShardedReceiver:
         ``input_sharding()``."""
         return self._step(params, carry, iq_u8)
 
-    def input_sharding(self) -> NamedSharding:
+    def input_sharding(self):
+        if self.t_shards * self.ch_shards == 1:
+            return jax.sharding.SingleDeviceSharding(jax.devices()[0])
         return NamedSharding(self.mesh, P(CH_AXIS, TIME_AXIS))
 
     # ---- internals ----
@@ -397,7 +410,10 @@ class ShardedReceiver:
             from dy4tpu.ops import mix as mixops
             front = jax.tree.map(lambda a: a[0], front)
             back = jax.tree.map(lambda a: a[0], back)
-            t_idx = lax.axis_index(TIME_AXIS)
+            # t_idx only exists under shard_map; on a 1x1 mesh `local`
+            # runs bare under jit (see `mapped` below) with no axis
+            t_idx = (lax.axis_index(TIME_AXIS) if t_shards > 1
+                     else jnp.int32(0))
 
             # raw-IQ halo from the left time-neighbour (shard 0: carried
             # global tail) — a sub-block mini warm-up (halo_if IF
@@ -410,8 +426,6 @@ class ShardedReceiver:
             else:
                 left = prev_tail
             mini = left                             # [C_l, halo] u8
-            blocks = iq.reshape((*iq.shape[:-1], s_blocks, bs))
-            blocks = jnp.moveaxis(blocks, -2, 0)    # [S, C_l, bs]
 
             # ---- stage 1: LTI front half, time-parallel ----
             # mini warm-up first, then the S real blocks; every output
@@ -420,7 +434,11 @@ class ShardedReceiver:
             # compiles it as a loop body like the real blocks — a
             # straight call fuses with its consumers and drifts the
             # healed states by 1 ulp (measured on CPU), breaking the
-            # bit-exactness bar.
+            # bit-exactness bar.  The real blocks are CONTIGUOUS slices
+            # of the [C_l, S*bs] chunk taken inside the scan body — the
+            # old [C_l,S,bs]->[S,C_l,bs] moveaxis was a raw-u8 HBM
+            # relayout (the same class of transpose the front kernel's
+            # raw formulation exists to avoid).
             def fbody(st, blk):
                 st, fo = receiver.front_step(params, st, blk, cfg,
                                              precision=precision,
@@ -432,7 +450,12 @@ class ShardedReceiver:
                 lambda a: None if a is None else a[0], fo_mini,
                 is_leaf=lambda a: a is None)
 
-            new_front, fos = lax.scan(fbody, front_mini, blocks)
+            def fbody_idx(st, i):
+                blk = lax.dynamic_slice_in_dim(iq, i * bs, bs, axis=-1)
+                return fbody(st, blk)
+
+            new_front, fos = lax.scan(fbody_idx, front_mini,
+                                      jnp.arange(s_blocks, dtype=jnp.int32))
 
             # ---- stage 2: global PLL over gathered sign codes ----
             def to_stream(x):                       # [S, C_l, N] -> [C_l, S*N]
@@ -503,9 +526,10 @@ class ShardedReceiver:
                     jnp.where(t_idx == t_shards - 1, tail, 0),
                     TIME_AXIS).astype(jnp.int8)
             else:
-                codes_chunk = lax.all_gather(codes_local, TIME_AXIS,
-                                             axis=-1,
-                                             tiled=True)  # [C_l, L, T*S*N]
+                codes_chunk = (lax.all_gather(codes_local, TIME_AXIS,
+                                              axis=-1, tiled=True)
+                               if t_shards > 1 else
+                               codes_local)        # [C_l, L, T*S*N]
                 codes_all = jnp.concatenate([prev_codes, codes_chunk],
                                             axis=-1)
                 phis, carry_mid, _ = pll.phase_scan_coded(
@@ -616,8 +640,9 @@ class ShardedReceiver:
                     resync = jnp.moveaxis(redisperse(res_all), 0, -1)
                     offset = jnp.moveaxis(redisperse(off_all), 0, -1)
                 else:
-                    bb_all = lax.all_gather(bb, TIME_AXIS, axis=0,
-                                            tiled=True)  # [T*S, C_l, 2, M]
+                    bb_all = (lax.all_gather(bb, TIME_AXIS, axis=0,
+                                             tiled=True)
+                              if t_shards > 1 else bb)  # [T*S, C_l, 2, M]
                     new_cdr, (sym_all, res_all, off_all) = lax.scan(
                         cbody, cdr, bb_all)
                     sl = lambda x: lax.dynamic_slice_in_dim(  # noqa: E731
@@ -639,16 +664,25 @@ class ShardedReceiver:
                                    rds_resync=resync, rds_offset=offset))
 
         pllc_spec = P(CH_AXIS, None)
-        mapped = shard_map(
-            local, mesh=self.mesh,
-            in_specs=(params_spec, front_spec, back_spec, pllc_spec,
-                      pllc_spec, pllc_spec, cdr_spec, P(CH_AXIS, None),
-                      P(CH_AXIS, None, None), P(), P(CH_AXIS, TIME_AXIS)),
-            out_specs=(front_spec, back_spec, pllc_spec, pllc_spec,
-                       pllc_spec, cdr_spec, P(CH_AXIS, None, None), P(),
-                       out_specs),
-            check_vma=False,
-        )
+        if self.t_shards * self.ch_shards == 1:
+            # single-device mesh: no collectives exist, and shard_map
+            # itself measures +~8 ms/step at the serving point (the
+            # 1x1-mesh A/B in benchmarks/micro_sharded.py) — run the
+            # local body bare under jit; shapes coincide with the
+            # global ones
+            mapped = local
+        else:
+            mapped = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(params_spec, front_spec, back_spec, pllc_spec,
+                          pllc_spec, pllc_spec, cdr_spec,
+                          P(CH_AXIS, None), P(CH_AXIS, None, None), P(),
+                          P(CH_AXIS, TIME_AXIS)),
+                out_specs=(front_spec, back_spec, pllc_spec, pllc_spec,
+                           pllc_spec, cdr_spec, P(CH_AXIS, None, None),
+                           P(), out_specs),
+                check_vma=False,
+            )
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, carry: ExactCarry, iq_u8):

@@ -357,3 +357,33 @@ def test_sharded_chanpar_nondivisible_channels(mode0_stream):
                                   seq_stream(seq.rds_symbols))
     np.testing.assert_array_equal(cat("rds_offset"),
                                   seq_stream(seq.rds_offset[..., None]))
+
+
+def test_sharded_single_device_mesh_exact(mode0_stream):
+    """1x1 mesh: the exact step bypasses shard_map entirely (no
+    collectives exist; shard_map alone measured +~8 ms/step on TPU) and
+    must stay bit-equal to the sequential scan."""
+    cfg, n_blocks, _ = mode0_stream
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, 2000).astype(np.int8)
+    n_audio = n_blocks * cfg.audio_per_block
+    iq = fm.synthesize(cfg, n_blocks,
+                       left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.6),
+                       right=fm.tone(2400.0, cfg.audio_fs, n_audio,
+                                     amp=0.6),
+                       rds_bits=bits)
+    mesh = make_mesh(ch=1, time=1)
+    rx = ShardedReceiver(cfg, mesh, shard_blocks=4)
+    params = receiver.make_params(cfg)
+    carry = rx.init(1)
+    outs = []
+    for half in range(2):
+        chunk = iq[None, half * rx.chunk_len:(half + 1) * rx.chunk_len]
+        carry, out = rx.step(params, carry, jnp.asarray(chunk))
+        outs.append(jax.tree.map(np.asarray, out))
+    seq = _sequential(cfg, iq, n_blocks)
+    cat = lambda f: np.concatenate([getattr(o, f) for o in outs], -1)[0]  # noqa: E731
+    np.testing.assert_array_equal(cat("mono"),
+                                  np.asarray(seq.mono).ravel())
+    np.testing.assert_array_equal(cat("rds_symbols"),
+                                  np.asarray(seq.rds_symbols).ravel())
