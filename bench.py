@@ -270,7 +270,11 @@ def _time_wideband(c_bank: int, batch: int, n_steps: int, repeats: int,
 
     params = receiver.make_params(cfg)
     chan = wideband.make_wideband(cfg, c_bank)
-    state = wideband.wideband_init(cfg, chan, batch=(batch,))
+    # BENCH_IQCORR=1 in wideband mode A/Bs the PRE-BANK tuner-fault
+    # tracker (strided raw moments + channel-domain correction)
+    state = wideband.wideband_init(
+        cfg, chan, batch=(batch,),
+        iqcorr=os.environ.get("BENCH_IQCORR", "0") == "1")
 
     @jax.jit
     def run(state, blocks):

@@ -139,6 +139,18 @@ def channelize_block(params: ChannelizerParams, state: ChannelizerState,
     return (y_i, y_q), ChannelizerState(tail_i=tail_i, tail_q=tail_q)
 
 
+def dc_response(params: ChannelizerParams) -> tuple[Array, Array]:
+    """The bank's response to a CONSTANT complex input 1 + 0j, per
+    channel: ``g[c] = sum_r e^{+j 2pi c r / C} sum_q p[r, q]`` (steady
+    state — tails warm).  A wideband tuner's DC offset lands in the
+    channels through exactly this vector; the pre-bank IQ corrector
+    (``iqcorr.apply_channelized``) subtracts ``kappa * g`` per channel.
+    Returns planar ``(g_r [C], g_i [C])``.
+    """
+    br = jnp.sum(params.p, axis=1)                     # [C] branch sums
+    return params.e_r @ br, params.e_i @ br
+
+
 def channelize_block_interleaved(params: ChannelizerParams,
                                  state: ChannelizerState, x: Array, *,
                                  precision=jax.lax.Precision.HIGHEST
@@ -289,10 +301,51 @@ def _kernel_chan(x_ref, tail_ref, h_ref, off_ref, w_ref, ext_s, pg_s,
         1, 1, _LANE)
 
 
+def _dft_mats_corrected(params: ChannelizerParams, corr):
+    """Widened-G DFT matrices with the pre-bank IQ correction folded in
+    (VERDICT r4 item 4).  The correction is the R-linear map
+    ``z' = alpha z + beta conj(z) - kappa`` (iqcorr.channel_affine);
+    since ``conj(y_{-c}) = sum_r E[c,r] conj(w_r)``, pushing it through
+    the bank turns into a complex reweighting OF THE DFT MATRIX —
+
+        y'_c = sum_r E[c,r] [(1 - j s rho) w_i + j s w_q] - kappa g_c
+
+    — i.e. two rebuilt [.., C, 2C] matrices per step (a few KB; the
+    earlier post-bank mirror/take formulation measured -10.5% on the
+    wideband chain, this one is free) plus the per-channel constant
+    ``kappa * g_dc`` subtracted in the einsum epilogue.  ``corr`` may
+    carry leading batch dims (per-band tuners).  Returns
+    ``(g_i, g_q, kg_r, kg_i)``.
+    """
+    c = params.channels
+    e2_r = params.e_r[:, ::-1]
+    e2_i = params.e_i[:, ::-1]
+
+    def widen(a, b):                                 # [.., C, C] x2 -> 2C
+        g = jnp.stack([a, b], axis=-1)
+        return g.reshape(*g.shape[:-3], c, 2 * c)
+
+    if corr is None:
+        return (widen(e2_r, -e2_i), widen(e2_i, e2_r), None, None)
+    s = corr.s[..., None, None]
+    sr = (corr.s * corr.rho)[..., None, None]
+    g_i = widen(jnp.broadcast_to(e2_r, sr.shape[:-2] + e2_r.shape)
+                + sr * e2_i, -s * e2_i)
+    g_q = widen(jnp.broadcast_to(e2_i, sr.shape[:-2] + e2_i.shape)
+                - sr * e2_r, s * e2_r)
+    k_r = corr.dc_i
+    k_i = corr.s * (corr.dc_q - corr.dc_i * corr.rho)
+    gd_r, gd_i = dc_response(params)
+    kg_r = k_r[..., None] * gd_r - k_i[..., None] * gd_i
+    kg_i = k_r[..., None] * gd_i + k_i[..., None] * gd_r
+    return g_i, g_q, kg_r, kg_i
+
+
 def channelize_block_u8(params: ChannelizerParams,
                         state: ChannelizerState, x_u8: Array, *,
                         precision=jax.lax.Precision.HIGHEST,
-                        impl: str = "auto", interpret: bool = False
+                        impl: str = "auto", interpret: bool = False,
+                        corr=None
                         ) -> tuple[tuple[Array, Array], ChannelizerState]:
     """``channelize_block_interleaved`` consuming the RAW u8 block.
 
@@ -308,6 +361,10 @@ def channelize_block_u8(params: ChannelizerParams,
     ``x_u8``: [..., 2*n_w] interleaved u8 (iofunc.cpp:113-120 contract).
     Returns the same ``((y_i, y_q) [..., C, M], state)`` as the f32
     entry points.
+
+    ``corr``: optional ``iqcorr.IQCorrCoeffs`` (leading dims = the
+    batch/band axes) — applies the pre-bank tuner-fault correction by
+    folding it into the DFT matrices (``_dft_mats_corrected``), free.
     """
     import os
     if impl == "auto":
@@ -316,9 +373,14 @@ def channelize_block_u8(params: ChannelizerParams,
             "pallas" if jax.default_backend() == "tpu"
             and fused_channelizer_ok(params.channels) else "stock")
     if impl == "stock":
+        from dy4tpu.ops import iqcorr as iqcorr_ops
         x = (x_u8.astype(jnp.float32) - 128.0) / 128.0
-        return channelize_block_interleaved(params, state, x,
-                                            precision=precision)
+        y, st = channelize_block_interleaved(params, state, x,
+                                             precision=precision)
+        if corr is not None:
+            y = iqcorr_ops.apply_channelized(
+                y[0], y[1], corr, *dc_response(params))
+        return y, st
     if not fused_channelizer_ok(params.channels):
         raise ValueError(f"fused channelizer needs 2*C | 128, got "
                          f"C={params.channels}")
@@ -385,15 +447,16 @@ def channelize_block_u8(params: ChannelizerParams,
     # DFT across the branch-pair axis as the SAME widened-G einsum the
     # stock path uses: XLA's cj,...mj->...cm contraction lands the
     # channel-major output directly in the matmul's output write (no
-    # separate transpose pass)
+    # separate transpose pass); the optional IQ correction rides the
+    # matrices (``_dft_mats_corrected``) + a per-channel constant
     w = wflat.reshape(b_pad, m, j2)[:bands].reshape(*batch, m, j2)
-    e2_r = params.e_r[:, ::-1]
-    e2_i = params.e_i[:, ::-1]
-    g_i = jnp.stack([e2_r, -e2_i], axis=-1).reshape(c, j2)
-    g_q = jnp.stack([e2_i, e2_r], axis=-1).reshape(c, j2)
+    g_i, g_q, kg_r, kg_i = _dft_mats_corrected(params, corr)
     dot = lambda gm: jnp.einsum(  # noqa: E731
-        "cj,...mj->...cm", gm, w, precision=precision)
+        "...cj,...mj->...cm", gm, w, precision=precision)
     y_i, y_q = dot(g_i), dot(g_q)
+    if kg_r is not None:
+        y_i = y_i - kg_r[..., :, None]
+        y_q = y_q - kg_i[..., :, None]
 
     new_tail = x2[:bands, -2 * (k - 1):].astype(jnp.float32)
     new_tail = ((new_tail - 128.0) / 128.0).reshape(*batch, k - 1, 2)

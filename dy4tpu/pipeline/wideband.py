@@ -24,8 +24,9 @@ import jax.numpy as jnp
 
 from dy4tpu.config import ModeConfig
 from dy4tpu.ops import afc as afc_ops
+from dy4tpu.ops import iqcorr as iqcorr_ops
 from dy4tpu.ops.channelizer import (ChannelizerParams, ChannelizerState,
-                                    channelize_block_u8,
+                                    channelize_block_u8, dc_response,
                                     init_channelizer_state,
                                     make_channelizer, rssi_dbfs)
 from dy4tpu.pipeline import receiver
@@ -37,6 +38,8 @@ class WidebandState(NamedTuple):
     chan: ChannelizerState
     rx: receiver.ReceiverState
     afc: Optional[afc_ops.AFCState] = None   # per-channel carrier track
+    iqcorr: Optional[iqcorr_ops.IQCorrState] = None  # wideband-tuner
+    #                                 fault tracker (pre-bank corrector)
 
 
 class WidebandOutputs(NamedTuple):
@@ -55,16 +58,24 @@ def make_wideband(cfg: ModeConfig, channels: int, *,
 def wideband_init(cfg: ModeConfig, chan: ChannelizerParams,
                   batch: tuple[int, ...] = (),
                   with_rds: Optional[bool] = None,
-                  afc: bool = False) -> WidebandState:
+                  afc: bool = False,
+                  iqcorr: bool = False) -> WidebandState:
     """State for ``wideband_step``: channelizer tail + a C-channel
     receiver state (the channel axis is the receiver batch axis).
     ``afc=True`` adds a per-channel carrier-offset tracking loop
-    (``ops/afc.py``) for stations sitting off the channel grid."""
+    (``ops/afc.py``) for stations sitting off the channel grid.
+    ``iqcorr=True`` adds the wideband-tuner fault tracker (VERDICT r4
+    item 4): a faulted wideband tuner images every station into the
+    MIRRORED channel — the narrowband per-channel tracker cannot see
+    it, so the estimate runs on the raw stream (strided subsample) and
+    the correction is applied in the channel domain right after the
+    bank (``iqcorr.apply_channelized``)."""
     c = chan.channels
     return WidebandState(
         chan=init_channelizer_state(chan, batch=batch),
         rx=receiver.init_state(cfg, batch=(*batch, c), with_rds=with_rds),
-        afc=afc_ops.init_afc_state(batch=(*batch, c)) if afc else None)
+        afc=afc_ops.init_afc_state(batch=(*batch, c)) if afc else None,
+        iqcorr=(iqcorr_ops.init_iqcorr_state(batch) if iqcorr else None))
 
 
 def wideband_step(params: receiver.ReceiverParams,
@@ -93,8 +104,21 @@ def wideband_step(params: receiver.ReceiverParams,
     # keeps the XLA lowering, which itself stays interleaved — a
     # stride-2 deinterleave is a relayout XLA charges 0.9-1.7 ms/step
     # at this shape, benchmarks/micro_wideband.py).
+    # wideband-tuner fault correction (state carries it only when
+    # enabled): coeffs from the accumulated pre-correction moments of a
+    # contiguous window of the RAW stream (second-order Gaussian
+    # readout, iqcorr.coeffs_gaussian), folded INTO the bank's DFT
+    # matrices (channelizer._dft_mats_corrected — free; the post-bank
+    # mirror/take form measured -10.5%).  Runs ahead of AFC: the fault
+    # lives at the tuner, before any per-channel rotation.
+    corr = (iqcorr_ops.coeffs_gaussian(state.iqcorr)
+            if state.iqcorr is not None else None)
     (y_i, y_q), chan_state = channelize_block_u8(
-        chan, state.chan, wb_u8, precision=precision)
+        chan, state.chan, wb_u8, precision=precision, corr=corr)
+    new_iqcorr = None
+    if state.iqcorr is not None:
+        new_iqcorr = iqcorr_ops.fold(
+            state.iqcorr, iqcorr_ops.wideband_moments(wb_u8))
 
     # per-channel AFC de-rotation (state carries it only when enabled):
     # stations off the channel grid get re-centred before the receiver,
@@ -135,7 +159,8 @@ def wideband_step(params: receiver.ReceiverParams,
         new_afc = afc_ops.update(state.afc, phase_next, dc,
                                  alpha=afc_alpha,
                                  max_freq=cfg.if_fs / 4.0, fs=cfg.if_fs)
-    return (WidebandState(chan=chan_state, rx=rx_state, afc=new_afc),
+    return (WidebandState(chan=chan_state, rx=rx_state, afc=new_afc,
+                          iqcorr=new_iqcorr),
             WidebandOutputs(rx=out, rssi=rssi_dbfs(y_i, y_q)))
 
 

@@ -67,6 +67,11 @@ def main(argv=None) -> int:
     p.add_argument("--afc", action="store_true",
                    help="track per-channel carrier offsets (stations "
                         "off the channel grid) and report them")
+    p.add_argument("--iqcorr", action="store_true",
+                   help="blind wideband-TUNER fault correction applied "
+                        "BEFORE the channel bank (a faulted tuner "
+                        "images every station into its mirrored "
+                        "channel; ops/iqcorr.py apply_channelized)")
     args = p.parse_args(argv)
 
     from dy4tpu.utils import jaxenv
@@ -100,7 +105,7 @@ def main(argv=None) -> int:
     params = receiver.make_params(cfg)
     chan = wideband.make_wideband(cfg, c)
     state = wideband.wideband_init(cfg, chan, with_rds=rds_on,
-                                   afc=args.afc)
+                                   afc=args.afc, iqcorr=args.iqcorr)
 
     @functools.partial(jax.jit, static_argnames=("nk",))
     def run_chunk(state, blocks, nk):

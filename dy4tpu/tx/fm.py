@@ -176,12 +176,16 @@ def synthesize_wideband(cfg: ModeConfig, channels: int, n_steps: int, *,
             raise ValueError(f"station channel {c} outside [0, {channels})")
         kw = dict(kw)
         df = kw.pop("carrier_offset_hz", 0.0)
+        # per-station carrier amplitude (near/far stations — e.g. the
+        # wideband-iqcorr tests put a weak victim in a strong station's
+        # mirror channel); default: the shared ``amp``
+        a_st = kw.pop("station_amp", amp)
         m = multiplex(cfg, n_steps, **kw)
         m_w = sp.resample_poly(m, channels, 1)
         m_w = np.pad(m_w[:n_w], (0, max(0, n_w - len(m_w))))
         phase = 2 * np.pi * kf / fs_w * np.cumsum(m_w)
-        x = x + amp * np.exp(1j * (phase + 2 * np.pi * c * n / channels
-                                   + 2 * np.pi * df / fs_w * n))
+        x = x + a_st * np.exp(1j * (phase + 2 * np.pi * c * n / channels
+                                    + 2 * np.pi * df / fs_w * n))
 
     if noise > 0:
         rng = np.random.default_rng(seed)
