@@ -189,6 +189,55 @@ def main() -> None:
            B * C * 2 * (n_if + cfg.rds_per_block) * f32,
            flops=B * C * 2 * cfg.num_taps * cfg.rds_per_block * 2)
 
+    # ---- SERVING fused back ends (the stock rows above are the XLA
+    # A/B; the chain actually runs these Pallas kernels) ----
+    try:
+        from dy4tpu.ops import backend_pallas, resample_pallas
+        apb = cfg.audio_per_block
+        fm3 = jax.jit(lambda k: jax.random.normal(k, (B, C, 3, n_if)))(key)
+        jax.block_until_ready(fm3)
+
+        def fab_body(c, x):
+            mono, left, right, mt, st = backend_pallas.fused_audio_backend(
+                x[:, 0], x[:, 1], x[:, 2], params.audio_coeff,
+                c[0], c[1], cfg.audio_down,
+                mm_dtype=(jnp.float32 if P == lax.Precision.HIGHEST
+                          else jnp.bfloat16))
+            return (mt, st), mono
+        s = cfg.audio_taps - 1
+        dt = bench_scan(fab_body, (jnp.zeros((C, s)), jnp.zeros((C, s))),
+                        fm3)
+        # min traffic: fm + stereo_band + nco read once, mono/L/R written
+        b_min = B * C * (3 * n_if + 3 * apb) * f32
+        # banded-formulation MACs: each 128-output tile contracts a
+        # [D*128 + 128]-row window per lane (the masked-redundancy
+        # trade), vs k MACs/output for the dense count
+        wlen = cfg.audio_down * 128 + 128
+        flops_banded = B * C * 2 * wlen * apb * 2
+        report("FUSED audio backend", dt, b_min, flops=flops_banded)
+
+        def frb_body(c, x):
+            bbi, bbq, li, lq, ri, rq = resample_pallas.fused_rds_backend(
+                x[:, 0], x[:, 1], x[:, 2], params.rds_lpf_coeff,
+                params.rds_rrc_coeff, c[0], c[1], c[2], c[3],
+                cfg.rds_up, cfg.rds_down,
+                mm_dtype=(jnp.float32 if P == lax.Precision.HIGHEST
+                          else jnp.bfloat16))
+            return (li, lq, ri, rq), bbi
+        s1 = fir.state_len(cfg.rds_taps, cfg.rds_up)
+        s2 = cfg.rds_rrc_taps - 1
+        dt = bench_scan(frb_body,
+                        (jnp.zeros((C, s1)), jnp.zeros((C, s1)),
+                         jnp.zeros((C, s2)), jnp.zeros((C, s2))), fm3)
+        rpb = cfg.rds_per_block
+        b_min = B * C * (3 * n_if + 2 * rpb) * f32
+        # resampler tile window (slab plan) + decim-1 RRC window
+        w_res = (128 * cfg.rds_down) // cfg.rds_up + 256
+        flops_banded = B * C * 2 * (w_res * rpb + 256 * rpb) * 2
+        report("FUSED rds backend", dt, b_min, flops=flops_banded)
+    except ImportError:
+        pass
+
     # ---- stacked PLL (2 lanes) ----
     pin = jax.jit(lambda k: jax.random.normal(k, (B, C, 2, n_if)))(key)
     jax.block_until_ready(pin)
