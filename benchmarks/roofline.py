@@ -15,8 +15,11 @@ Env: ROOF_CHANNELS (default 512), ROOF_BLOCKS (8), ROOF_PRECISION.
 """
 
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 from dy4tpu.utils import jaxenv
 jaxenv.setup()
 
@@ -126,6 +129,7 @@ def main() -> None:
     b_min = B * C * (2 * cfg.iq_per_block * 1 + 2 * n_if * f32)
     report("rf u8->decim FIR", dt, b_min,
            flops=B * C * 2 * cfg.num_taps * n_if * 2)
+    del iq_u8
 
     # ---- fused front end (u8 -> fm), when available ----
     try:
@@ -148,6 +152,7 @@ def main() -> None:
             b_min = B * C * (cfg.block_size * 1 + n_if * f32)
             report(label, dt, b_min,
                    flops=B * C * (2 * cfg.num_taps + 5) * n_if * 2)
+        del iq_blk
     except ImportError:
         pass
 
@@ -161,6 +166,7 @@ def main() -> None:
     dt = bench_scan(bank_body, jnp.zeros((C, 3, cfg.num_taps - 1)), fm)
     report("band bank (3 BPF)", dt, B * C * (n_if * f32 + 3 * n_if * f32),
            flops=B * C * 3 * cfg.num_taps * n_if * 2)
+    del fm
 
     # ---- audio resampler (2 lanes mono+stereo) ----
     aud_in = jax.jit(lambda k: jax.random.normal(k, (B, C, 2, n_if)))(key)
@@ -188,6 +194,7 @@ def main() -> None:
     report("rds resample x2", dt,
            B * C * 2 * (n_if + cfg.rds_per_block) * f32,
            flops=B * C * 2 * cfg.num_taps * cfg.rds_per_block * 2)
+    del aud_in
 
     # ---- SERVING fused back ends (the stock rows above are the XLA
     # A/B; the chain actually runs these Pallas kernels) ----
@@ -235,6 +242,7 @@ def main() -> None:
         w_res = (128 * cfg.rds_down) // cfg.rds_up + 256
         flops_banded = B * C * 2 * (w_res * rpb + 256 * rpb) * 2
         report("FUSED rds backend", dt, b_min, flops=flops_banded)
+        del fm3
     except ImportError:
         pass
 
@@ -253,6 +261,7 @@ def main() -> None:
     dt = bench_scan(pll_body, pll.init_state((C, 2)), pin)
     report("PLL x2 lanes", dt, B * C * 2 * n_if * f32 * 2,
            flops=B * C * 2 * n_if * 10)
+    del pin
 
     # ---- full chain for reference ----
     state = receiver.init_state(cfg, batch=(C,))

@@ -93,11 +93,22 @@ def fused_backend_ok(n_if: int, audio_up: int, audio_taps: int,
 def fused_audio_backend(fm_delayed: Array, stereo_band: Array, nco: Array,
                         h_audio: Array, mono_tail: Array,
                         stereo_tail: Array, decim: int, *,
-                        mm_dtype=jnp.bfloat16, interpret: bool = False
+                        mm_dtype=jnp.bfloat16,
+                        bc_rows: int | None = None,
+                        interpret: bool = False
                         ) -> tuple[Array, Array, Array, Array, Array]:
     """Returns ``(mono, left, right, new_mono_tail, new_stereo_tail)`` —
     value-matching the stock mix/resample/matrix composition (fp
-    tolerance; tails exact)."""
+    tolerance; tails exact).
+
+    ``bc_rows``: channel rows per grid cell — the tile-invariant plan
+    already batches all J output tiles into one dot (M = bc*J = 96 at
+    mode 0's geometry).  Round-5 sweep: bc=32 is **-22% standalone**
+    (16.5 -> 12.8 ms at C=512 B=48) but **e2e -1.3% on mode 0 /
+    neutral on mode 1** — the chain hides the stage in memory-bound
+    slots and bigger tiles perturb the schedule, so the serving
+    default stays 8 (`DY4TPU_BACKEND_BC` A/Bs it; contrast the
+    rational kernels, where bc=32 wins e2e and is the default)."""
     c, n_in = fm_delayed.shape
     k = h_audio.shape[0]
     assert k - 1 <= _T, k
@@ -113,7 +124,10 @@ def fused_audio_backend(fm_delayed: Array, stereo_band: Array, nco: Array,
 
     # 8 rows for f32 too: Mosaic rejects 4-row channel tiles; the f32
     # scratch growth rides the raised VMEM limit below
-    bc_rows = _BC
+    if bc_rows is None:
+        import os
+        env = os.environ.get("DY4TPU_BACKEND_BC")
+        bc_rows = int(env) if env else _BC
     c_pad = -(-c // bc_rows) * bc_rows
     args = [fm_delayed, stereo_band, nco, mtail, stail]
     if c_pad != c:

@@ -15,8 +15,9 @@ from dy4tpu.ops import backend_pallas, fir, mix
 from dy4tpu.pipeline import receiver
 
 
+@pytest.mark.parametrize("bc", [None, 32])  # serving + big channel tile
 @pytest.mark.parametrize("mode", [0, 1])  # the U=1 (gate-eligible) modes
-def test_fused_audio_backend_matches_stock(mode):
+def test_fused_audio_backend_matches_stock(mode, bc):
     cfg = get_mode(mode)
     rng = np.random.default_rng(3)
     c, n = 3, cfg.if_per_block
@@ -38,7 +39,7 @@ def test_fused_audio_backend_matches_stock(mode):
 
     mono, left, right, nmt, nst = backend_pallas.fused_audio_backend(
         fmd, sb, nco, h, mt, st, cfg.audio_down, mm_dtype=jnp.float32,
-        interpret=True)
+        bc_rows=bc, interpret=True)
     np.testing.assert_allclose(np.asarray(mono), np.asarray(y[..., 0, :]),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(left), np.asarray(l_r), atol=1e-5)
