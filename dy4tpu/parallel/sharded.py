@@ -359,14 +359,17 @@ class ShardedReceiver:
             check_vma=False,
         )
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(params, carry: ShardedCarry, iq_u8):
-            new_state, outs = mapped(params, carry.state, carry.prev_tail,
-                                     iq_u8)
-            new_tail = iq_u8[..., -halo:]
-            return ShardedCarry(state=new_state, prev_tail=new_tail), outs
+        def make_step(params):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step_c(carry: ShardedCarry, iq_u8):
+                new_state, outs = mapped(params, carry.state,
+                                         carry.prev_tail, iq_u8)
+                new_tail = iq_u8[..., -halo:]
+                return (ShardedCarry(state=new_state, prev_tail=new_tail),
+                        outs)
+            return step_c
 
-        return step
+        return self._specialize(make_step)
 
     def _build_exact(self):
         cfg = self.cfg
@@ -411,9 +414,13 @@ class ShardedReceiver:
             front = jax.tree.map(lambda a: a[0], front)
             back = jax.tree.map(lambda a: a[0], back)
             # t_idx only exists under shard_map; on a 1x1 mesh `local`
-            # runs bare under jit (see `mapped` below) with no axis
-            t_idx = (lax.axis_index(TIME_AXIS) if t_shards > 1
-                     else jnp.int32(0))
+            # runs bare under jit (see `mapped` below) with no axis.
+            # STATIC 0 there, not jnp.int32(0): a traced zero turns
+            # every downstream slice into dynamic-slice (clamps +
+            # gathers that block XLA fusion — measured 16 transposes /
+            # 8 gathers and 3.5x the bytes-accessed of the same math
+            # with static slicing)
+            t_idx = lax.axis_index(TIME_AXIS) if t_shards > 1 else 0
 
             # raw-IQ halo from the left time-neighbour (shard 0: carried
             # global tail) — a sub-block mini warm-up (halo_if IF
@@ -684,16 +691,39 @@ class ShardedReceiver:
                 check_vma=False,
             )
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(params, carry: ExactCarry, iq_u8):
-            (nf, nb, i2, p2, a2, ncdr, npc, nstarted, outs) = mapped(
-                params, carry.front, carry.back, carry.pll_integ,
-                carry.pll_phase, carry.pll_angle, carry.cdr,
-                carry.prev_tail, carry.prev_codes, carry.started, iq_u8)
-            new_tail = iq_u8[..., -halo:]
-            return ExactCarry(front=nf, back=nb, pll_integ=i2,
-                              pll_phase=p2, pll_angle=a2, cdr=ncdr,
-                              prev_tail=new_tail, prev_codes=npc,
-                              started=nstarted), outs
+        def make_step(params):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step_c(carry: ExactCarry, iq_u8):
+                (nf, nb, i2, p2, a2, ncdr, npc, nstarted, outs) = mapped(
+                    params, carry.front, carry.back, carry.pll_integ,
+                    carry.pll_phase, carry.pll_angle, carry.cdr,
+                    carry.prev_tail, carry.prev_codes, carry.started,
+                    iq_u8)
+                new_tail = iq_u8[..., -halo:]
+                return ExactCarry(front=nf, back=nb, pll_integ=i2,
+                                  pll_phase=p2, pll_angle=a2, cdr=ncdr,
+                                  prev_tail=new_tail, prev_codes=npc,
+                                  started=nstarted), outs
+            return step_c
+
+        return self._specialize(make_step)
+
+    def _specialize(self, make_step):
+        """Per-params compiled-step cache: the step CLOSES OVER the
+        filter params so XLA constant-folds the banded-matrix
+        construction (as a jit argument, the h[idx] gathers re-ran
+        every step and their non-fusible products measured 3.5x the
+        bytes-accessed of the identical-math closure form —
+        benchmarks/micro_sharded.py round-5 bisect).  Params are fixed
+        for a receiver's lifetime, so this compiles once per params
+        pytree (the cache keeps a strong ref, so ids stay valid)."""
+        cache: dict = {}
+
+        def step(params, carry, iq_u8):
+            ent = cache.get(id(params))
+            if ent is None:
+                ent = (params, make_step(params))
+                cache[id(params)] = ent
+            return ent[1](carry, iq_u8)
 
         return step
