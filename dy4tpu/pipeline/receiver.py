@@ -935,7 +935,14 @@ def receiver_step_jit(params, state, iq_u8, cfg: ModeConfig,
                       stereo: bool = True,
                       with_rds: Optional[bool] = None):
     """Jitted step returning quantised s16 PCM like the reference CLI
-    (project.cpp:307-317)."""
+    (project.cpp:307-317).
+
+    Convenience only — for a serving loop, jit your own wrapper that
+    CLOSES OVER ``params`` instead: as a jit argument the banded
+    filter-matrix construction re-runs every call and blocks fusion
+    (measured 2x on the sharded step, BASELINE round-5); every
+    production path in this repo uses the closure form.
+    """
     new_state, out = receiver_step(params, state, iq_u8, cfg,
                                    with_rds=with_rds)
     if stereo:

@@ -41,8 +41,12 @@ WRAP = 4.0 * np.pi
 
 
 @pytest.mark.slow
-def test_soak_10k_blocks(tmp_path):
-    cfg = get_mode(0)
+@pytest.mark.parametrize("mode,cycles,timing", [
+    (0, CYCLES, "peak"),      # reference-parity CDR, ~10^4 blocks
+    (2, 200, "envelope"),     # SPS=27 + the robust whole-block timing
+])
+def test_soak_10k_blocks(tmp_path, mode, cycles, timing):
+    cfg = get_mode(mode)
     params = receiver.make_params(cfg)
     state = receiver.init_state(cfg, batch=(1,))
 
@@ -59,7 +63,8 @@ def test_soak_10k_blocks(tmp_path):
     @jax.jit
     def run(st, bl):
         def body(s, b):
-            s, o = receiver.receiver_step(params, s, b, cfg)
+            s, o = receiver.receiver_step(params, s, b, cfg,
+                                          cdr_timing=timing)
             return s, (o.mono[..., :4], o.rds_symbols, o.rds_resync)
         return lax.scan(body, st, bl)
 
@@ -77,24 +82,25 @@ def test_soak_10k_blocks(tmp_path):
                 a = np.asarray(leaf)
                 assert np.all(np.abs(a) <= 2 * WRAP + 1.0), (where, a)
 
+    ckpt_at = min(CKPT_AT, (3 * cycles) // 4)
     resumed = None
     resumed_outs = []
     direct_outs = []
-    for cycle in range(CYCLES):
+    for cycle in range(cycles):
         state, outs = run(state, blocks)
         if cycle % 100 == 99:
             assert_bounded(state, f"cycle {cycle}")
-        if cycle == CKPT_AT - 1:
-            # (b) checkpoint through disk at block CKPT_AT*CYCLE
+        if cycle == ckpt_at - 1:
+            # (b) checkpoint through disk at block ckpt_at*CYCLE
             path = str(tmp_path / "soak.ckpt")
-            ckpt.save(path, state, meta={"block": CKPT_AT * CYCLE})
+            ckpt.save(path, state, meta={"block": ckpt_at * CYCLE})
             resumed, _, meta = ckpt.load(path)
-            assert meta["block"] == CKPT_AT * CYCLE
-        if resumed is not None and cycle >= CKPT_AT:
+            assert meta["block"] == ckpt_at * CYCLE
+        if resumed is not None and cycle >= ckpt_at:
             direct_outs.append(jax.tree.map(np.asarray, outs))
             resumed, routs = run(resumed, blocks)
             resumed_outs.append(jax.tree.map(np.asarray, routs))
-            if cycle == CKPT_AT + 2:
+            if cycle == ckpt_at + 2:
                 for d, r in zip(direct_outs, resumed_outs):
                     for a, b in zip(d, r):
                         np.testing.assert_array_equal(a, b)
