@@ -94,6 +94,71 @@ def main():
               f"PI={info.pi_hex} PS={info.ps_name!r}")
     print("\nhardened = --iqcorr (blind ellipse-fit DC/imbalance "
           "correction) + --cdr envelope")
+    wideband_demo()
+
+
+def wideband_demo():
+    """Round-5 twin: the WIDEBAND tuner fault.  A strong station's
+    image lands in its MIRRORED channel (-c mod C), drowning a weak
+    victim there — invisible to the per-channel tracker, fixed by the
+    pre-bank corrector folded into the channel bank's DFT matrices
+    (`dy4tpu-wideband --iqcorr`)."""
+    from dy4tpu.ops import iqcorr
+    from dy4tpu.pipeline import wideband
+
+    c, n_steps, station = 8, 10, 2
+    mirror = (-station) % c
+    n_audio = n_steps * CFG.audio_per_block
+    wb = fm.synthesize_wideband(
+        CFG, c, n_steps,
+        stations={station: dict(
+                      left=fm.tone(LF, CFG.audio_fs, n_audio, 0.7),
+                      right=fm.tone(RF, CFG.audio_fs, n_audio, 0.7),
+                      station_amp=0.55),
+                  mirror: dict(
+                      left=fm.tone(600.0, CFG.audio_fs, n_audio, 0.7),
+                      right=fm.tone(1900.0, CFG.audio_fs, n_audio, 0.7),
+                      station_amp=0.12)},
+        kf=50e3)
+    x = wb.astype(np.float64)
+    i = (x[0::2] - 128.0) / 128.0
+    q = (x[1::2] - 128.0) / 128.0
+    ii, qi = iqcorr.impair(i, q, gain=1.2, phase_deg=8.0,
+                           dc_i=0.03, dc_q=-0.02)
+    bad = np.empty_like(x)
+    bad[0::2] = np.clip(np.round(ii * 128.0 + 128.0), 0, 255)
+    bad[1::2] = np.clip(np.round(qi * 128.0 + 128.0), 0, 255)
+    bad = bad.astype(np.uint8)
+
+    params = receiver.make_params(CFG)
+    chan = wideband.make_wideband(CFG, c)
+
+    def run(capture, corr_on):
+        st = wideband.wideband_init(CFG, chan, with_rds=False,
+                                    iqcorr=corr_on)
+        blocks = jnp.asarray(
+            capture.reshape(n_steps, 2 * c * CFG.if_per_block))
+        _, outs = jax.jit(lambda s, b: wideband.run_wideband_blocks(
+            params, chan, s, b, CFG, with_rds=False))(st, blocks)
+
+        def tone_power(xx, freq):
+            t = np.arange(len(xx)) / CFG.audio_fs
+            cc = xx @ np.exp(-2j * np.pi * freq * t)
+            return 2 * np.abs(cc) ** 2 / len(xx) ** 2
+        left = np.asarray(outs.rx.left)[4:, mirror].ravel()
+        right = np.asarray(outs.rx.right)[4:, mirror].ravel()
+        sep = 10 * np.log10(min(
+            tone_power(left, 600.0) / tone_power(left, 1900.0),
+            tone_power(right, 1900.0) / tone_power(right, 600.0)))
+        return sep
+
+    print(f"\nwideband: strong station ch{station}, weak victim in its "
+          f"mirror ch{mirror} (victim stereo separation)")
+    print(f"{'capture':>22} | {'stock sep':>9} | {'--iqcorr':>9}")
+    for name, cap in (("clean wideband tuner", wb),
+                      ("impaired (image!)", bad)):
+        print(f"{name:>22} | {run(cap, False):7.1f}dB | "
+              f"{run(cap, True):7.1f}dB")
 
 
 if __name__ == "__main__":
