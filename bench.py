@@ -74,21 +74,56 @@ def _precision():
         os.environ.get("BENCH_PRECISION", "default")]
 
 
+def _capture_cache(key: str, make):
+    """Disk-cache the deterministic synthesized captures: host-side
+    multiplex synthesis is ~30-60 s per config and dominates the
+    scoreboard's wall clock.  The key embeds a hash of the TX sources,
+    so any synthesis change invalidates automatically."""
+    import hashlib
+
+    from dy4tpu.rds import coding
+    from dy4tpu.tx import fm
+
+    h = hashlib.sha1()
+    for mod in (fm, coding):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    d = os.path.expanduser("~/.cache/dy4tpu-bench")
+    path = os.path.join(d, f"{key}-{h.hexdigest()[:12]}.npy")
+    try:
+        if os.path.exists(path):
+            return np.load(path)
+    except Exception:
+        pass
+    arr = make()
+    try:
+        os.makedirs(d, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+    except Exception:
+        pass   # cache is an optimization only
+    return arr
+
+
 def _broadcast_blocks(cfg, n_blocks: int, channels: int):
     """Synthesized broadcast, tiled to [n_blocks, C, block] on device."""
     from dy4tpu.rds import coding
     from dy4tpu.tx import fm
 
-    n_audio = n_blocks * cfg.audio_per_block
-    bits = None
-    if cfg.supports_rds:
-        bits = coding.make_ps_bitstream(PI_CODE, 10, PS_NAME,
-                                        repeats=max(2, n_blocks))
-    base = fm.synthesize(
-        cfg, n_blocks,
-        left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.7),
-        right=fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.7),
-        rds_bits=bits)
+    def make():
+        n_audio = n_blocks * cfg.audio_per_block
+        bits = None
+        if cfg.supports_rds:
+            bits = coding.make_ps_bitstream(PI_CODE, 10, PS_NAME,
+                                            repeats=max(2, n_blocks))
+        return fm.synthesize(
+            cfg, n_blocks,
+            left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.7),
+            right=fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.7),
+            rds_bits=bits)
+
+    base = _capture_cache(f"chain-m{cfg.mode}-b{n_blocks}", make)
     one = jnp.asarray(base.reshape(n_blocks, cfg.block_size))  # ~5 MB push
 
     @jax.jit
@@ -255,15 +290,18 @@ def _time_wideband(c_bank: int, batch: int, n_steps: int, repeats: int,
     cfg = get_mode(0)
     station = min(3, c_bank - 1)
 
-    n_audio = n_steps * cfg.audio_per_block
-    bits = coding.make_ps_bitstream(PI_CODE, 10, PS_NAME,
-                                    repeats=max(2, n_steps))
-    wb = fm.synthesize_wideband(
-        cfg, c_bank, n_steps,
-        stations={station: dict(
-            left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.7),
-            right=fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.7),
-            rds_bits=bits)})
+    def make():
+        n_audio = n_steps * cfg.audio_per_block
+        bits = coding.make_ps_bitstream(PI_CODE, 10, PS_NAME,
+                                        repeats=max(2, n_steps))
+        return fm.synthesize_wideband(
+            cfg, c_bank, n_steps,
+            stations={station: dict(
+                left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.7),
+                right=fm.tone(2400.0, cfg.audio_fs, n_audio, amp=0.7),
+                rds_bits=bits)})
+
+    wb = _capture_cache(f"wb-c{c_bank}-s{n_steps}", make)
     step_u8 = 2 * c_bank * cfg.if_per_block
     one = jnp.asarray(wb.reshape(n_steps, step_u8))
 
