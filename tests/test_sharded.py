@@ -387,3 +387,44 @@ def test_sharded_single_device_mesh_exact(mode0_stream):
                                   np.asarray(seq.mono).ravel())
     np.testing.assert_array_equal(cat("rds_symbols"),
                                   np.asarray(seq.rds_symbols).ravel())
+
+
+@pytest.mark.slow
+def test_sharded_mode2_rational_exact():
+    """Mode 2 through the exact sharded receiver: the rational
+    (U=147/800) audio + 171/640 RDS back ends, SPS=27 CDR and the
+    1/3-block auto halo all ride the sub-block warm-up and stay
+    bit-equal to the sequential scan."""
+    cfg = get_mode(2)
+    from dy4tpu.parallel.sharded import exact_min_halo_if
+    assert 3 * exact_min_halo_if(cfg) == cfg.if_per_block  # 1/3 block
+    n_blocks = 8
+    rng = np.random.default_rng(13)
+    bits = rng.integers(0, 2, 2000).astype(np.int8)
+    n_audio = n_blocks * cfg.audio_per_block
+    iq = fm.synthesize(cfg, n_blocks,
+                       left=fm.tone(800.0, cfg.audio_fs, n_audio, amp=0.6),
+                       right=fm.tone(2400.0, cfg.audio_fs, n_audio,
+                                     amp=0.6),
+                       rds_bits=bits)
+    mesh = make_mesh(ch=1, time=4)
+    rx = ShardedReceiver(cfg, mesh, shard_blocks=1)
+    params = receiver.make_params(cfg)
+    carry = rx.init(1)
+    outs = []
+    for half in range(2):
+        chunk = iq[None, half * rx.chunk_len:(half + 1) * rx.chunk_len]
+        carry, out = rx.step(params, carry,
+                             jax.device_put(jnp.asarray(chunk),
+                                            rx.input_sharding()))
+        outs.append(jax.tree.map(np.asarray, out))
+    seq = _sequential(cfg, iq, n_blocks)
+    cat = lambda f: np.concatenate([getattr(o, f) for o in outs], -1)[0]  # noqa: E731
+    np.testing.assert_array_equal(cat("mono"),
+                                  np.asarray(seq.mono).ravel())
+    np.testing.assert_array_equal(cat("left"),
+                                  np.asarray(seq.left).ravel())
+    np.testing.assert_array_equal(cat("rds_symbols"),
+                                  np.asarray(seq.rds_symbols).ravel())
+    np.testing.assert_array_equal(cat("rds_resync"),
+                                  np.asarray(seq.rds_resync).ravel())
