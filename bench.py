@@ -3,7 +3,8 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MS/s", "vs_baseline": N,
    "mode1_ms_s": ..., "mode2_ms_s": ..., "mode3_ms_s": ...,
-   "wideband_ms_s": ..., "wideband_bands_rt": ...}
+   "wideband_ms_s": ..., "wideband_bands_rt": ...,
+   "sharded_eff_1dev": ..., "sharded_ms_s": ...}
 
 (the scoreboard keys — VERDICT r4 item 2 — are captured on the same
 default run at serving geometry so the non-default claims are
@@ -276,6 +277,14 @@ def bench_chain() -> None:
             result["wideband_bands_rt"] = round(bands_rt, 1)
         except Exception as e:  # noqa: BLE001
             result["wideband_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            # exact time-sharded stream vs plain scan, one chip (the
+            # round-5 sub-block-halo + params-closure result)
+            eff, sh_msps, _, _ = _time_sharded(128, 6, 4, precision)
+            result["sharded_eff_1dev"] = round(eff, 3)
+            result["sharded_ms_s"] = round(sh_msps, 1)
+        except Exception as e:  # noqa: BLE001
+            result["sharded_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
 
 
@@ -375,24 +384,21 @@ def bench_wideband() -> None:
     }))
 
 
-def bench_sharded() -> None:
+def _time_sharded(channels: int, s_blocks: int, repeats: int,
+                  precision) -> tuple[float, float, float, int]:
     """Scaling protocol: exact time-sharded receiver over all visible
     devices vs the plain sequential scan on one device.
 
     efficiency = sharded_throughput / (n_time_shards * plain_throughput):
     1.0 means perfect time-axis scaling; on a single chip this measures
-    pure sharding overhead (halo + gather + replicated PLL replay).
+    pure sharding overhead (halo + replay + split-stage schedule).
+    Returns ``(efficiency, sharded MS/s, plain MS/s, n_dev)``.
     """
     from dy4tpu.parallel import ShardedReceiver, make_mesh
 
     cfg = get_mode(0)
     devs = jax.devices()
     n_dev = len(devs)
-    on_tpu = devs[0].platform == "tpu"
-    channels = int(os.environ.get("BENCH_CHANNELS", 32 if on_tpu else 2))
-    s_blocks = int(os.environ.get("BENCH_SHARD_BLOCKS", 4))
-    repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
-    precision = _precision()
     total_blocks = n_dev * s_blocks
 
     params = receiver.make_params(cfg)
@@ -457,6 +463,17 @@ def bench_sharded() -> None:
     print(f"plain 1-dev: {msps_plain:.1f} MS/s; sharded x{n_dev} dev "
           f"(S={s_blocks}, O=1, exact): {msps_sh:.1f} MS/s; "
           f"time-scaling efficiency {eff:.3f}", file=sys.stderr)
+    return eff, msps_sh, msps_plain, n_dev
+
+
+def bench_sharded() -> None:
+    devs = jax.devices()
+    on_tpu = devs[0].platform == "tpu"
+    channels = int(os.environ.get("BENCH_CHANNELS", 32 if on_tpu else 2))
+    s_blocks = int(os.environ.get("BENCH_SHARD_BLOCKS", 4))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5 if on_tpu else 2))
+    eff, msps_sh, _, n_dev = _time_sharded(channels, s_blocks, repeats,
+                                           _precision())
     print(json.dumps({
         "metric": f"sharded_time_scaling_efficiency_{n_dev}dev",
         "value": round(eff, 4),
